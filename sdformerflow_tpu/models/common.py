@@ -1,0 +1,72 @@
+"""Shared configuration dataclasses and initializers for the model zoo.
+
+The reference selects neuron types, surrogate functions, patch embeds and
+model classes by ``eval()`` of config strings; here everything is an explicit
+frozen dataclass + registry, hashable so it can be a flax module attribute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.nn.initializers as init
+
+
+@dataclasses.dataclass(frozen=True)
+class SpikingConfig:
+    """Mirror of the reference's ``spiking_kwargs`` dict
+    (configs/*.yml ``spiking_neuron`` section)."""
+    num_steps: int = 10
+    v_th: float = 1.0
+    v_reset: Optional[float] = None
+    neuron_type: str = "lif"  # lif | if | plif | psn | glif | SLTTlif
+    surrogate: str = "atan"
+    surrogate_alpha: float = 2.0
+    tau: float = 2.0
+    detach_reset: bool = True
+    spike_norm: Optional[str] = "BN"  # BN | BN_notrack | GN | IN | LN | BNTT | TDBN
+
+    def replace(self, **kw) -> "SpikingConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    """Mirror of the reference's ``swin_transformer`` config section."""
+    arc_type: str = "swinv1"  # swinv1 | swinv2
+    patch_embed_type: str = "MS_PED_Spiking_PatchEmbed_Conv_sfn"
+    input_size: Tuple[int, int] = (288, 384)
+    patch_size: Tuple[int, ...] = (1, 1, 2, 2)
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    window_size: Tuple[int, int, int] = (2, 9, 9)
+    pretrained_window_size: Tuple[int, int, int] = (0, 0, 0)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = 0.125
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.2
+    patch_norm: bool = False
+
+    def replace(self, **kw) -> "SwinConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# torch init equivalents used by the reference's init_weights functions
+kaiming_normal_fan_out = init.variance_scaling(2.0, "fan_out", "normal")
+xavier_uniform = init.xavier_uniform()
+trunc_normal_02 = init.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+zeros = init.zeros
+ones = init.ones
+
+
+def torch_conv_default_init():
+    """torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in))."""
+    return init.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_linear_default_init():
+    return init.variance_scaling(1.0 / 3.0, "fan_in", "uniform")

@@ -1,0 +1,475 @@
+"""Spiking layer zoo: neuron factory, norm zoo, SEW & MS conv layers.
+
+Layout: all multi-step features are time-major channels-last
+``[T, B, H, W, C]``. Convolutions and linears are applied with flax modules
+that treat ``(T, B)`` as batch dims, so the MXU sees one large batched
+conv/matmul per layer (the reference loops over T in Python or relies on
+SpikingJelly's CuPy kernels). The neuron is the only sequential piece and is a
+``lax.scan`` over T (see ops.neurons).
+
+Parity targets (file:line in /root/reference):
+- Spiking_neuron factory: models/STSwinNet_SNN/Spiking_modules.py:26-99
+- SpikingNormLayer: Spiking_modules.py:101-146
+- SpikingConvEncoderLayer (SEW conv->norm->spike): Spiking_modules.py:250-296
+- MS_SpikingConvEncoderLayer (spike->conv->norm): Spiking_modules.py:298-347
+- Spiking{,Transpose}DecoderLayer & MS variants: Spiking_modules.py:349-566
+- Spiking{,MS_}PredLayer: Spiking_modules.py:568-647
+- SpikingEmbeddingLayer / SpikingPEDLayer: Spiking_modules.py:704-825
+- SEWResBlock / MS_ResBlock: Spiking_modules.py:827-933
+  (note: the reference passes its ``spike_norm`` string into the
+  ``num_steps`` positional slot of SpikingNormLayer, so resblock norms are
+  always plain BN regardless of config — kept here for parity)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import neurons
+from ..ops.surrogate import get_surrogate
+from ..ops.interpolate import resize_bilinear
+from .common import SpikingConfig, xavier_uniform
+
+
+class SpikingNeuron(nn.Module):
+    """Config-driven neuron over [T, ...] inputs (time axis leading)."""
+
+    cfg: SpikingConfig
+
+    @nn.compact
+    def __call__(self, x_seq):
+        cfg = self.cfg
+        sg = get_surrogate(cfg.surrogate, cfg.surrogate_alpha)
+        kind = cfg.neuron_type.lower()
+        if kind == "lif":
+            return neurons.lif_neuron(x_seq, v_th=cfg.v_th, v_reset=cfg.v_reset,
+                                      tau=cfg.tau, surrogate_fn=sg,
+                                      detach_reset=cfg.detach_reset)
+        if kind == "if":
+            return neurons.if_neuron(x_seq, v_th=cfg.v_th, v_reset=cfg.v_reset,
+                                     surrogate_fn=sg,
+                                     detach_reset=cfg.detach_reset)
+        if kind == "plif":
+            w = self.param("w", lambda _: jnp.asarray(
+                neurons.plif_init_w(cfg.tau), jnp.float32))
+            return neurons.plif_neuron(x_seq, w, v_th=cfg.v_th,
+                                       v_reset=cfg.v_reset, surrogate_fn=sg,
+                                       detach_reset=cfg.detach_reset)
+        if kind == "slttlif":
+            return neurons.sltt_lif_neuron(x_seq, v_th=cfg.v_th,
+                                           v_reset=cfg.v_reset, tau=cfg.tau,
+                                           surrogate_fn=sg,
+                                           detach_reset=cfg.detach_reset)
+        if kind == "psn":
+            T = cfg.num_steps
+            assert x_seq.shape[0] == T, (
+                f"PSN built for T={T} but input has T={x_seq.shape[0]}")
+            bound = math.sqrt(1.0 / T)  # kaiming_uniform(a=sqrt(5)) on [T, T]
+            weight = self.param(
+                "weight", nn.initializers.uniform(scale=2 * bound), (T, T))
+            weight = weight - bound  # uniform(-bound, bound)
+            bias = self.param("bias", nn.initializers.constant(-1.0), (T, 1))
+            return neurons.psn_neuron(x_seq, weight, bias, surrogate_fn=sg)
+        if kind == "glif":
+            T = cfg.num_steps
+            params = self.param(
+                "glif", lambda key: neurons.glif_init(key, T, init_tau=0.25,
+                                                      init_v_threshold=0.5,
+                                                      init_conduct=0.5))
+            return neurons.glif_neuron(x_seq, params, surrogate_fn=sg)
+        raise ValueError(f"unknown neuron_type {cfg.neuron_type!r}")
+
+
+class SpikingNorm(nn.Module):
+    """Norm zoo over [T, B, H, W, C] (channels-last).
+
+    BN flattens (T, B) into the batch axis — exactly what SpikingJelly's
+    multi-step layer.BatchNorm2d does. BNTT keeps per-timestep statistics.
+    TDBN is BN with scale initialized to alpha * v_th.
+    """
+
+    channels: int
+    num_steps: int
+    norm: str = "BN"
+    v_th: float = 1.0
+    alpha: float = 1.0  # TDBN scaling
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.norm
+        if norm is None:
+            return x
+        if norm == "BN":
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, axis=-1)(x)
+        if norm == "BN_notrack":
+            # batch statistics always, no running stats (track_running_stats=False)
+            mean = x.mean(axis=(0, 1, 2, 3), keepdims=True)
+            var = x.var(axis=(0, 1, 2, 3), keepdims=True)
+            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+            return (x - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+        if norm == "TDBN":
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, axis=-1,
+                                scale_init=nn.initializers.constant(
+                                    self.alpha * self.v_th))(x)
+        if norm == "BNTT":
+            bns = [nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-4, axis=-1, name=f"bn_t{i}")
+                   for i in range(self.num_steps)]
+            steps = [bns[i](x[i]) for i in range(self.num_steps)]
+            return jnp.stack(steps, axis=0)
+        if norm in ("GN", "IN", "LN"):
+            groups = {"GN": max(self.channels // 16, 1),
+                      "IN": self.channels, "LN": 1}[norm]
+            return nn.GroupNorm(num_groups=groups,
+                                reduction_axes=(-3, -2, -1))(x)
+        raise ValueError(f"unknown norm {norm!r}")
+
+
+def conv2d(features, kernel_size, stride=1, padding=None, use_bias=True,
+           name=None, kernel_init=xavier_uniform):
+    """3x3-style conv on [..., H, W, C] with torch-equivalent padding."""
+    if padding is None:
+        padding = kernel_size // 2
+    return nn.Conv(features, (kernel_size, kernel_size),
+                   strides=(stride, stride),
+                   padding=((padding, padding), (padding, padding)),
+                   use_bias=use_bias, kernel_init=kernel_init, name=name)
+
+
+def conv_transpose2d(features, kernel_size, stride=2, use_bias=True, name=None,
+                     kernel_init=xavier_uniform):
+    """x2 (or x4) upsampling transposed conv.
+
+    Geometry matches torch ConvTranspose2d(k, stride, padding=k//2,
+    output_padding=1) — output = stride * input — via 'SAME' padding.
+    """
+    return nn.ConvTranspose(features, (kernel_size, kernel_size),
+                            strides=(stride, stride), padding="SAME",
+                            use_bias=use_bias, kernel_init=kernel_init,
+                            name=name)
+
+
+class SpikingConvEncoderLayer(nn.Module):
+    """SEW ordering: conv -> norm -> spike."""
+
+    out_channels: int
+    cfg: SpikingConfig
+    kernel_size: int = 3
+    stride: int = 1
+    padding: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.cfg.spike_norm
+        x = conv2d(self.out_channels, self.kernel_size, self.stride,
+                   self.padding, use_bias=norm is None, name="conv")(x)
+        if norm is not None:
+            x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
+                            self.cfg.v_th, name="norm")(x, train)
+        return SpikingNeuron(self.cfg, name="sn")(x)
+
+
+class MSSpikingConvEncoderLayer(nn.Module):
+    """MS (membrane shortcut) ordering: spike -> conv -> norm.
+    ``first_layer`` skips the input spike."""
+
+    out_channels: int
+    cfg: SpikingConfig
+    kernel_size: int = 3
+    stride: int = 1
+    padding: Optional[int] = None
+    first_layer: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.cfg.spike_norm
+        if not self.first_layer:
+            x = SpikingNeuron(self.cfg, name="sn")(x)
+        x = conv2d(self.out_channels, self.kernel_size, self.stride,
+                   self.padding, use_bias=norm is None, name="conv")(x)
+        if norm is not None:
+            x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
+                            self.cfg.v_th, name="norm")(x, train)
+        return x
+
+
+class SpikingDecoderLayer(nn.Module):
+    """SEW decoder: bilinear x``scale`` upsample -> conv -> norm -> spike.
+    The reference loops F.interpolate per step; here one batched resize."""
+
+    out_channels: int
+    cfg: SpikingConfig
+    kernel_size: int = 3
+    scale: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.cfg.spike_norm
+        T, B, H, W, C = x.shape
+        x = resize_bilinear(x, (H * self.scale, W * self.scale))
+        x = conv2d(self.out_channels, self.kernel_size, 1,
+                   self.kernel_size // 2, use_bias=norm is None,
+                   name="deconv")(x)
+        if norm is not None:
+            x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
+                            self.cfg.v_th, name="norm")(x, train)
+        return SpikingNeuron(self.cfg, name="sn")(x)
+
+
+class MSSpikingDecoderLayer(nn.Module):
+    """MS decoder: bilinear x2 upsample -> spike -> conv -> norm."""
+
+    out_channels: int
+    cfg: SpikingConfig
+    kernel_size: int = 3
+    scale: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.cfg.spike_norm
+        T, B, H, W, C = x.shape
+        x = resize_bilinear(x, (H * 2, W * 2))
+        x = SpikingNeuron(self.cfg, name="sn")(x)
+        x = conv2d(self.out_channels, self.kernel_size, 1,
+                   self.kernel_size // 2, use_bias=norm is None,
+                   name="deconv")(x)
+        if norm is not None:
+            x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
+                            self.cfg.v_th, name="norm")(x, train)
+        return x
+
+
+class SpikingTransposeDecoderLayer(nn.Module):
+    """SEW transpose-conv decoder: deconv -> norm -> spike."""
+
+    out_channels: int
+    cfg: SpikingConfig
+    kernel_size: int = 3
+    scale: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.cfg.spike_norm
+        k = self.kernel_size if self.scale == 2 else 7
+        x = conv_transpose2d(self.out_channels, k, self.scale,
+                             use_bias=norm is None, name="deconv")(x)
+        if norm is not None:
+            x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
+                            self.cfg.v_th, name="norm")(x, train)
+        return SpikingNeuron(self.cfg, name="sn")(x)
+
+
+class MSSpikingTransposeDecoderLayer(nn.Module):
+    """MS transpose-conv decoder: spike -> deconv -> norm."""
+
+    out_channels: int
+    cfg: SpikingConfig
+    kernel_size: int = 3
+    scale: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.cfg.spike_norm
+        x = SpikingNeuron(self.cfg, name="sn")(x)
+        k = self.kernel_size if self.scale == 2 else 7
+        x = conv_transpose2d(self.out_channels, k, self.scale,
+                             use_bias=norm is None, name="deconv")(x)
+        if norm is not None:
+            x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
+                            self.cfg.v_th, name="norm")(x, train)
+        return x
+
+
+class SpikingPredLayer(nn.Module):
+    """SEW prediction head: bare conv (bias on, no norm)."""
+
+    out_channels: int
+    cfg: SpikingConfig
+    kernel_size: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return conv2d(self.out_channels, self.kernel_size, 1,
+                      self.kernel_size // 2, use_bias=True, name="conv")(x)
+
+
+class MSSpikingPredLayer(nn.Module):
+    """MS prediction head: spike -> conv."""
+
+    out_channels: int
+    cfg: SpikingConfig
+    kernel_size: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = SpikingNeuron(self.cfg, name="sn")(x)
+        return conv2d(self.out_channels, self.kernel_size, 1,
+                      self.kernel_size // 2, use_bias=True, name="conv")(x)
+
+
+class SEWResBlock(nn.Module):
+    """Spike-Element-Wise residual block: (conv->BN->spike) x2 + connect.
+
+    Norm is always plain BN (reference positional-arg quirk, see module
+    docstring)."""
+
+    channels: int
+    cfg: SpikingConfig
+    connect_function: str = "ADD"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        norm = self.cfg.spike_norm
+        use_bias = norm is None
+        x = conv2d(self.channels, 3, 1, 1, use_bias=use_bias, name="conv1")(x)
+        if norm is not None:
+            x = SpikingNorm(self.channels, self.cfg.num_steps, "BN",
+                            self.cfg.v_th, name="norm1")(x, train)
+        x = SpikingNeuron(self.cfg, name="sn1")(x)
+        x = conv2d(self.channels, 3, 1, 1, use_bias=use_bias, name="conv2")(x)
+        if norm is not None:
+            x = SpikingNorm(self.channels, self.cfg.num_steps, "BN",
+                            self.cfg.v_th, name="norm2")(x, train)
+        out = SpikingNeuron(self.cfg, name="sn2")(x)
+        return _connect(out, identity, self.connect_function, self.cfg)
+
+
+class MSResBlock(nn.Module):
+    """Membrane-shortcut residual block: (spike->conv->BN) x2 + connect."""
+
+    channels: int
+    cfg: SpikingConfig
+    connect_function: str = "ADD"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        norm = self.cfg.spike_norm
+        use_bias = norm is None
+        x = SpikingNeuron(self.cfg, name="sn1")(x)
+        x = conv2d(self.channels, 3, 1, 1, use_bias=use_bias, name="conv1")(x)
+        if norm is not None:
+            x = SpikingNorm(self.channels, self.cfg.num_steps, "BN",
+                            self.cfg.v_th, name="norm1")(x, train)
+        x = SpikingNeuron(self.cfg, name="sn2")(x)
+        x = conv2d(self.channels, 3, 1, 1, use_bias=use_bias, name="conv2")(x)
+        if norm is not None:
+            x = SpikingNorm(self.channels, self.cfg.num_steps, "BN",
+                            self.cfg.v_th, name="norm2")(x, train)
+        return _connect(x, identity, self.connect_function, self.cfg)
+
+
+def _connect(out, identity, cnf: str, cfg: SpikingConfig):
+    if cnf == "ADD":
+        return out + identity
+    if cnf in ("MUL", "AND"):
+        return out * identity
+    if cnf == "OR":
+        return get_surrogate(cfg.surrogate, cfg.surrogate_alpha)(out + identity)
+    if cnf == "NMUL":
+        return identity * (1.0 - out)
+    raise NotImplementedError(cnf)
+
+
+class SpikingResidualStack(nn.Module):
+    """N residual blocks (SEW or MS), reference
+    spiking_residual_feature_generator (Spiking_modules.py:935-973)."""
+
+    channels: int
+    cfg: SpikingConfig
+    num_blocks: int = 4
+    use_ms: bool = False
+    connect_function: str = "ADD"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block = MSResBlock if self.use_ms else SEWResBlock
+        for i in range(self.num_blocks):
+            x = block(self.channels, self.cfg, self.connect_function,
+                      name=f"res{i}")(x, train)
+        return x
+
+
+class SpikingEmbeddingLayer(nn.Module):
+    """Patch-embedding conv (stride = spatial patch) + BN + spike; MS variant
+    spikes first."""
+
+    out_channels: int
+    cfg: SpikingConfig
+    stride: Tuple[int, int] = (2, 2)
+    kernel_size: int = 3
+    use_ms: bool = False
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm_on = self.use_norm and self.cfg.spike_norm is not None
+
+        def body(h):
+            h = nn.Conv(self.out_channels,
+                        (self.kernel_size, self.kernel_size),
+                        strides=tuple(self.stride), padding=((1, 1), (1, 1)),
+                        use_bias=not norm_on, kernel_init=xavier_uniform,
+                        name="conv")(h)
+            if norm_on:
+                h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, axis=-1, name="norm")(h)
+            return h
+
+        if self.use_ms:
+            x = SpikingNeuron(self.cfg, name="sn")(x)
+            return body(x)
+        x = body(x)
+        return SpikingNeuron(self.cfg, name="sn")(x)
+
+
+class SpikingPEDLayer(nn.Module):
+    """Patch embedding with deformed shortcut: parallel stride-2 1x1 conv
+    residual + (spike -> stride-2 conv -> BN)."""
+
+    out_channels: int
+    cfg: SpikingConfig
+    stride: Tuple[int, int] = (2, 2)
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm_on = self.cfg.spike_norm is not None
+        x_res = nn.Conv(self.out_channels, (1, 1), strides=(2, 2),
+                        padding="VALID", use_bias=not norm_on,
+                        kernel_init=xavier_uniform, name="conv_res")(x)
+        x = SpikingNeuron(self.cfg, name="sn")(x)
+        x = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
+                    strides=tuple(self.stride), padding=((1, 1), (1, 1)),
+                    use_bias=not norm_on, kernel_init=xavier_uniform,
+                    name="conv")(x)
+        if norm_on:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, axis=-1, name="norm")(x)
+        return x + x_res
+
+
+def drop_path(x, rate: float, deterministic: bool, rng=None,
+              batch_axis: int = 1):
+    """Stochastic depth: drop the whole residual branch per sample.
+
+    For [T, B, ...] features the mask is shared across time (axis 0) and
+    broadcast over space, matching timm's DropPath applied per torch batch
+    row. ``batch_axis`` selects which axis indexes samples.
+    """
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = [1] * x.ndim
+    shape[batch_axis] = x.shape[batch_axis]
+    mask = jax.random.bernoulli(rng, keep, shape=tuple(shape))
+    return jnp.where(mask, x / keep, 0.0)
