@@ -1,0 +1,66 @@
+"""Benchmark: SDformerFlow (MS_SpikingformerFlowNet_en4) inference throughput
+on the DSEC eval protocol shapes (288x384 center crop, 10-bin per-polarity
+voxels, T=10, PSN neurons) on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numeric throughput baseline (BASELINE.md), so
+vs_baseline is reported as 1.0 by convention.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from sdformerflow_tpu.models.common import SpikingConfig, SwinConfig
+from sdformerflow_tpu.models.snn_flownet import SpikingformerFlowNet
+from sdformerflow_tpu.ops.normalization import encode_input
+
+
+def main():
+    h, w = 288, 384
+    swin = SwinConfig(
+        arc_type="swinv1",
+        patch_embed_type="MS_PED_Spiking_PatchEmbed_Conv_sfn",
+        input_size=(h, w), patch_size=(1, 1, 2, 2), depths=(2, 2, 6, 2),
+        num_heads=(3, 6, 12, 24), out_indices=(0, 1, 2, 3),
+        window_size=(2, 9, 9), qk_scale=0.125)
+    cfg = SpikingConfig(num_steps=10, v_th=0.1, v_reset=None,
+                        neuron_type="psn", spike_norm="BN")
+    model = SpikingformerFlowNet(swin=swin, cfg=cfg, num_bins=10,
+                                 base_num_channels=96, num_encoders=4,
+                                 use_upsample_conv=False, ms=True)
+
+    rng = jax.random.PRNGKey(0)
+    chunk = jax.random.normal(rng, (1, 10, h, w), jnp.float32)
+    x0 = encode_input(chunk)
+    variables = jax.jit(lambda r, x: model.init({"params": r}, x, False))(
+        rng, x0)
+
+    @jax.jit
+    def forward(variables, chunk):
+        x = encode_input(chunk)
+        return model.apply(variables, x, False)["flow"][-1]
+
+    # warmup / compile
+    forward(variables, chunk).block_until_ready()
+
+    iters = 30
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, chunk)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+    windows_per_sec = iters / elapsed
+
+    print(json.dumps({
+        "metric": "sdformerflow_en4_dsec_eval_inference",
+        "value": round(windows_per_sec, 3),
+        "unit": "windows/sec/chip",
+        "vs_baseline": 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

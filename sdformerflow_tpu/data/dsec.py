@@ -1,0 +1,121 @@
+"""DSEC dataset over preprocessed ``.npy`` tensors + synthetic fallback.
+
+Parity target: DSECDatasetLite (/root/reference/DSEC_dataloader/
+DSEC_dataset_lite.py:36-136): items are (chunk, mask, label) with
+- chunk: [bins, H, W] signed voxel grid (polarity folded as sign) or
+  [bins, 2, H, W] per-polarity ("bins_pol" directory), possibly two
+  concatenated 10-bin windows (num_chunks == 2);
+- mask: [H, W] GT-valid mask; label: [2, H, W] flow.
+
+File layout matches the reference's offline preprocessor output:
+``{path}/event_tensors/{NN}bins[_pol]/left/<seq>/<seq>_<idx>.npy``,
+``{path}/gt_tensors/<file>.npy``, ``{path}/mask_tensors/<file>.npy``,
+``{path}/sequence_lists/{train,valid}_split_seq.csv``.
+
+This module is host-side numpy (input pipeline); device work happens in the
+jitted step.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class DSECDatasetLite:
+    def __init__(self, config: dict, file_list: str):
+        data_cfg = config["data"]
+        self.path = data_cfg["path"]
+        self.flow_path = os.path.join(self.path, "gt_tensors")
+        self.mask_path = os.path.join(self.path, "mask_tensors")
+        self.encoding = config["model"].get("encoding", "voxel")
+        self.num_frames = data_cfg.get("num_frames", 10)
+        self.num_chunks = data_cfg.get("num_chunks", 1)
+        polarity = config["loader"].get("polarity", True)
+
+        if self.encoding == "voxel":
+            sub = (f"{self.num_frames:02d}bins" if polarity
+                   else f"{self.num_frames:02d}bins_pol")
+        else:
+            sub = f"{self.num_frames:02d}frames"
+        self.events_path = os.path.join(self.path, "event_tensors", sub,
+                                        "left")
+
+        suffix = ("_split_doubleseq.csv" if self.num_chunks == 2
+                  else "_split_seq.csv")
+        seq_file = os.path.join(self.path, "sequence_lists",
+                                file_list + suffix)
+        with open(seq_file) as f:
+            self.files = [row for row in csv.reader(f) if row]
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        row = self.files[idx]
+        target1 = row[0]
+        target_last = row[-1]
+        mask = np.load(os.path.join(self.mask_path, target_last))
+        label = np.load(os.path.join(self.flow_path, target_last))
+        seq1 = "_".join(target1.split("_")[:-1])
+        chunk = np.load(os.path.join(self.events_path, seq1, target1),
+                        allow_pickle=True)
+        if self.num_chunks == 2:
+            target2 = row[1]
+            seq2 = "_".join(target2.split("_")[:-1])
+            chunk2 = np.load(os.path.join(self.events_path, seq2, target2),
+                             allow_pickle=True)
+            chunk = np.concatenate([chunk, chunk2], axis=0)
+        return chunk.astype(np.float32), mask, label.astype(np.float32)
+
+
+class SyntheticEventFlowDataset:
+    """Deterministic synthetic (chunk, mask, label) samples with voxel-like
+    sparsity statistics — used by tests and benchmarks when no DSEC data is
+    mounted."""
+
+    def __init__(self, num_samples=64, num_bins=10, height=288, width=384,
+                 seed=0, per_polarity=False):
+        self.n = num_samples
+        self.num_bins = num_bins
+        self.height = height
+        self.width = width
+        self.seed = seed
+        self.per_polarity = per_polarity
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed + idx)
+        shape = ((self.num_bins, 2, self.height, self.width)
+                 if self.per_polarity
+                 else (self.num_bins, self.height, self.width))
+        chunk = rng.normal(0, 1, shape).astype(np.float32)
+        chunk *= (rng.uniform(size=shape) < 0.1)  # ~10% occupancy
+        label = rng.normal(0, 3, (2, self.height, self.width)).astype(
+            np.float32)
+        mask = (rng.uniform(size=(self.height, self.width)) > 0.2)
+        return chunk, mask, label
+
+
+def batch_iterator(dataset, batch_size: int, *, shuffle=False, seed=0,
+                   drop_last=True) -> Iterator[dict]:
+    """Minimal host-side batcher yielding dict batches of stacked numpy
+    arrays: chunk [B, ...], mask [B, 1, H, W] float, label [B, 2, H, W]."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for start in range(0, len(order), batch_size):
+        idxs = order[start:start + batch_size]
+        if drop_last and len(idxs) < batch_size:
+            return
+        chunks, masks, labels = zip(*(dataset[i] for i in idxs))
+        yield {
+            "chunk": np.stack(chunks),
+            "mask": np.stack(masks)[:, None].astype(np.float32),
+            "label": np.stack(labels),
+        }

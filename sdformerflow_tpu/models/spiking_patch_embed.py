@@ -1,0 +1,244 @@
+"""Spiking patch-embedding front-ends: event voxels -> [T, B, H', W', C] spikes.
+
+Input contract (matching the reference drivers): ``[B, bins, 2, H, W]``
+per-polarity voxel grids. Two regroupings turn the bin/polarity axes into an
+SNN time axis:
+
+- ``sfn_regroup``: channel i <- polarity i%2, bins (i//2)*T..(i//2+1)*T as the
+  time axis ("spike-flow-net" 2/4-channel frames). Parity:
+  /root/reference/models/STSwinNet_SNN/Spiking_modules.py:1139-1154.
+- ``chunk_regroup``: flatten (bins, 2) and chunk into T equal channel groups
+  ("nearest bins as channels"). Parity: Spiking_modules.py:1285-1293.
+
+Variants mirror Spiking_modules.py:975-1837; the flagship
+``MS_PED_Spiking_PatchEmbed_Conv_sfn`` (en4 config) is head -> MS conv /2 ->
+2x MS resblocks -> PED projection /2.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .common import SpikingConfig
+from .spiking_layers import (MSSpikingConvEncoderLayer, SpikingConvEncoderLayer,
+                             SpikingEmbeddingLayer, SpikingPEDLayer,
+                             SpikingResidualStack)
+
+
+def sfn_regroup(x, num_steps: int):
+    """[B, bins, 2, H, W] -> [T, B, H, W, num_ch] with
+    num_ch = 2 * bins // num_steps."""
+    B, bins, P, H, Wd = x.shape
+    num_ch = bins * 2 // num_steps
+    chans = []
+    for i in range(num_ch):
+        start = (i // 2) * num_steps
+        chans.append(x[:, start:start + num_steps, i % 2])  # [B, T, H, W]
+    out = jnp.stack(chans, axis=-1)  # [B, T, H, W, num_ch]
+    return out.transpose(1, 0, 2, 3, 4)
+
+
+def chunk_regroup(x, num_steps: int):
+    """[B, bins, 2, H, W] -> [T, B, H, W, 2*bins//T], consecutive
+    (bin, polarity) pairs as channels."""
+    B, bins, P, H, Wd = x.shape
+    x = x.reshape(B, bins * P, H, Wd)
+    x = x.reshape(B, num_steps, bins * P // num_steps, H, Wd)
+    return x.transpose(1, 0, 3, 4, 2)
+
+
+class SpikingPatchEmbedConvSfn(nn.Module):
+    """sfn regroup -> SEW head -> (MS|SEW) conv /2 -> resblocks -> embedding
+    projection /patch. Parity: Spiking_PatchEmbed_Conv_sfn and its MS variant
+    (Spiking_modules.py:1523-1708)."""
+
+    img_size: Tuple[int, int]
+    patch_size: Tuple[int, ...] = (1, 1, 2, 2)
+    in_chans: int = 10
+    embed_dim: int = 96
+    cfg: SpikingConfig = SpikingConfig()
+    use_ms: bool = False
+    num_res: int = 2
+
+    @property
+    def patches_resolution(self):
+        return (self.img_size[0] // self.patch_size[-2] // 2,
+                self.img_size[1] // self.patch_size[-1] // 2)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x[:, :self.in_chans]
+        x = sfn_regroup(x, self.cfg.num_steps)
+        x = SpikingConvEncoderLayer(self.embed_dim // 2, self.cfg, 3, 1, 1,
+                                    name="head")(x, train)
+        if self.use_ms:
+            x = MSSpikingConvEncoderLayer(self.embed_dim, self.cfg, 3, 2, 1,
+                                          first_layer=True,
+                                          name="conv")(x, train)
+        else:
+            x = SpikingConvEncoderLayer(self.embed_dim, self.cfg, 3, 2, 1,
+                                        name="conv")(x, train)
+        x = SpikingResidualStack(self.embed_dim, self.cfg, self.num_res,
+                                 use_ms=self.use_ms,
+                                 name="residual_encoding")(x, train)
+        x = SpikingEmbeddingLayer(self.embed_dim, self.cfg,
+                                  stride=tuple(self.patch_size[-2:]),
+                                  use_ms=self.use_ms, name="proj")(x, train)
+        return x
+
+
+class MSPEDSpikingPatchEmbedConvSfn(nn.Module):
+    """Flagship (en4) embed: sfn regroup -> SEW head -> MS conv /2 ->
+    2x MS resblocks -> PED projection /2. Parity:
+    MS_PED_Spiking_PatchEmbed_Conv_sfn (Spiking_modules.py:1710-1837)."""
+
+    img_size: Tuple[int, int]
+    patch_size: Tuple[int, ...] = (1, 1, 2, 2)
+    in_chans: int = 10
+    embed_dim: int = 96
+    cfg: SpikingConfig = SpikingConfig()
+    num_res: int = 2
+
+    @property
+    def patches_resolution(self):
+        return (self.img_size[0] // self.patch_size[-2] // 2,
+                self.img_size[1] // self.patch_size[-1] // 2)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x[:, :self.in_chans]
+        x = sfn_regroup(x, self.cfg.num_steps)
+        x = SpikingConvEncoderLayer(self.embed_dim // 2, self.cfg, 3, 1, 1,
+                                    name="head")(x, train)
+        x = MSSpikingConvEncoderLayer(self.embed_dim, self.cfg, 3, 2, 1,
+                                      first_layer=True, name="conv")(x, train)
+        x = SpikingResidualStack(self.embed_dim, self.cfg, self.num_res,
+                                 use_ms=True,
+                                 name="residual_encoding")(x, train)
+        x = SpikingPEDLayer(self.embed_dim, self.cfg,
+                            stride=tuple(self.patch_size[-2:]),
+                            name="proj")(x, train)
+        return x
+
+
+class SpikingPatchEmbedSfn(nn.Module):
+    """sfn regroup -> head (stride 1, full embed_dim) -> resblocks ->
+    embedding projection. Parity: Spiking_PatchEmbed_sfn / MS_ variant
+    (Spiking_modules.py:1065-1198)."""
+
+    img_size: Tuple[int, int]
+    patch_size: Tuple[int, ...] = (1, 1, 2, 2)
+    in_chans: int = 10
+    embed_dim: int = 96
+    cfg: SpikingConfig = SpikingConfig()
+    use_ms: bool = False
+    num_res: int = 2
+
+    @property
+    def patches_resolution(self):
+        return (self.img_size[0] // self.patch_size[-2],
+                self.img_size[1] // self.patch_size[-1])
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x[:, :self.in_chans]
+        x = sfn_regroup(x, self.cfg.num_steps)
+        if self.use_ms:
+            x = MSSpikingConvEncoderLayer(self.embed_dim, self.cfg, 3, 1, 1,
+                                          first_layer=True,
+                                          name="head")(x, train)
+        else:
+            x = SpikingConvEncoderLayer(self.embed_dim, self.cfg, 3, 1, 1,
+                                        name="head")(x, train)
+        x = SpikingResidualStack(self.embed_dim, self.cfg, self.num_res,
+                                 use_ms=self.use_ms,
+                                 name="residual_encoding")(x, train)
+        x = SpikingEmbeddingLayer(self.embed_dim, self.cfg,
+                                  stride=tuple(self.patch_size[-2:]),
+                                  use_ms=self.use_ms, name="proj")(x, train)
+        return x
+
+
+class SpikingPatchEmbedConv(nn.Module):
+    """chunk regroup variant of the conv embed ("nearest bins as channels").
+    Parity: Spiking_PatchEmbed_Conv (Spiking_modules.py:1200-1330); the MS
+    branch of the reference uses 4 resblocks."""
+
+    img_size: Tuple[int, int]
+    patch_size: Tuple[int, ...] = (1, 1, 2, 2)
+    in_chans: int = 10
+    embed_dim: int = 96
+    cfg: SpikingConfig = SpikingConfig()
+    use_ms: bool = False
+
+    @property
+    def patches_resolution(self):
+        return (self.img_size[0] // self.patch_size[-2] // 2,
+                self.img_size[1] // self.patch_size[-1] // 2)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x[:, :self.in_chans]
+        x = chunk_regroup(x, self.cfg.num_steps)
+        x = SpikingConvEncoderLayer(self.embed_dim // 2, self.cfg, 3, 1, 1,
+                                    name="head")(x, train)
+        if self.use_ms:
+            x = MSSpikingConvEncoderLayer(self.embed_dim, self.cfg, 3, 2, 1,
+                                          first_layer=True,
+                                          name="conv")(x, train)
+            num_res = 4
+        else:
+            x = SpikingConvEncoderLayer(self.embed_dim, self.cfg, 3, 2, 1,
+                                        name="conv")(x, train)
+            num_res = 2
+        x = SpikingResidualStack(self.embed_dim, self.cfg, num_res,
+                                 use_ms=self.use_ms,
+                                 name="residual_encoding")(x, train)
+        x = SpikingEmbeddingLayer(self.embed_dim, self.cfg,
+                                  stride=tuple(self.patch_size[-2:]),
+                                  use_ms=self.use_ms, name="proj")(x, train)
+        return x
+
+
+class MSSpikingPatchEmbedConvLocal(nn.Module):
+    """Per-temporal-block local embed: bins split into bins//T groups of
+    [T, B, H, W, 2]; each group runs the head/conv/res/proj pipeline and the
+    groups stack along the output time axis. Parity (modulo the reference's
+    ambiguous output layout): MS_Spiking_PatchEmbed_Conv_Local
+    (Spiking_modules.py:1332-1521)."""
+
+    img_size: Tuple[int, int]
+    patch_size: Tuple[int, ...] = (1, 1, 2, 2)
+    in_chans: int = 10
+    embed_dim: int = 96
+    cfg: SpikingConfig = SpikingConfig()
+    num_res: int = 2
+
+    @property
+    def patches_resolution(self):
+        return (self.img_size[0] // self.patch_size[-2] // 2,
+                self.img_size[1] // self.patch_size[-1] // 2)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x[:, :self.in_chans]
+        T = self.cfg.num_steps
+        num_blocks = self.in_chans // T
+        head = SpikingConvEncoderLayer(self.embed_dim // 2, self.cfg, 3, 1, 1,
+                                       name="head")
+        conv = MSSpikingConvEncoderLayer(self.embed_dim, self.cfg, 3, 2, 1,
+                                         first_layer=True, name="conv")
+        res = SpikingResidualStack(self.embed_dim, self.cfg, self.num_res,
+                                   use_ms=True, name="residual_encoding")
+        proj = SpikingEmbeddingLayer(self.embed_dim, self.cfg,
+                                     stride=tuple(self.patch_size[-2:]),
+                                     use_ms=True, name="proj")
+        outs = []
+        for i in range(num_blocks):
+            xi = x[:, i * T:(i + 1) * T].transpose(1, 0, 3, 4, 2)  # T,B,H,W,2
+            xi = proj(res(conv(head(xi, train), train), train), train)
+            outs.append(xi.sum(axis=0))  # collapse inner T per block
+        return jnp.stack(outs, axis=0)  # [num_blocks, B, H', W', C]

@@ -14,14 +14,22 @@ import jax.numpy as jnp
 
 
 def _pad_match(x1, x2):
-    """Zero-pad x1's H/W (centered, torch ZeroPad2d convention) to x2's."""
+    """Zero-pad (or crop, for negative deltas — torch ZeroPad2d semantics)
+    x1's H/W to x2's, centered."""
     dy = x2.shape[-3] - x1.shape[-3]
     dx = x2.shape[-2] - x1.shape[-2]
     if dy == 0 and dx == 0:
         return x1
+    lo_y, hi_y = dy // 2, dy - dy // 2
+    lo_x, hi_x = dx // 2, dx - dx // 2
+    # crop first (negative pads), then zero-pad the positive remainder
+    h, w = x1.shape[-3], x1.shape[-2]
+    y0, y1 = max(0, -lo_y), h - max(0, -hi_y)
+    x0_, x1_ = max(0, -lo_x), w - max(0, -hi_x)
+    x1 = x1[..., y0:y1, x0_:x1_, :]
     pads = [(0, 0)] * x1.ndim
-    pads[-3] = (dy // 2, dy - dy // 2)
-    pads[-2] = (dx // 2, dx - dx // 2)
+    pads[-3] = (max(0, lo_y), max(0, hi_y))
+    pads[-2] = (max(0, lo_x), max(0, hi_x))
     return jnp.pad(x1, pads)
 
 

@@ -1,0 +1,72 @@
+import jax.numpy as jnp
+import numpy as np
+
+from sdformerflow_tpu import losses
+
+
+def _synthetic(b=2, h=8, w=8, seed=0):
+    rng = np.random.default_rng(seed)
+    gt = rng.normal(0, 2, (b, 2, h, w)).astype(np.float32)
+    pred = gt + rng.normal(0, 0.5, (b, 2, h, w)).astype(np.float32)
+    mask = (rng.uniform(size=(b, 1, h, w)) > 0.3).astype(np.float32)
+    return jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)
+
+
+def test_perfect_prediction_zero_loss():
+    pred, gt, mask = _synthetic()
+    loss = losses.flow_loss_supervised([gt, gt], gt, mask)
+    # epsilon inside the sqrt gives a tiny positive floor
+    assert float(loss) < 1e-3
+
+
+def test_loss_averages_over_predictions():
+    pred, gt, mask = _synthetic()
+    l1 = losses.flow_loss_supervised([pred], gt, mask)
+    l2 = losses.flow_loss_supervised([pred, pred], gt, mask)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_loss_known_value():
+    # constant error of 1 px in x over a fully valid mask -> AEE ~= 1
+    gt = jnp.zeros((1, 2, 4, 4))
+    pred = gt.at[:, 0].set(1.0)
+    mask = jnp.ones((1, 1, 4, 4))
+    loss = losses.flow_loss_supervised([pred], gt, mask)
+    np.testing.assert_allclose(float(loss), 1.0, atol=1e-3)
+
+
+def test_aee_metrics_values():
+    gt = jnp.zeros((1, 2, 4, 4))
+    pred = gt.at[:, 0].set(2.5)  # error 2.5 px everywhere, mag 2.5
+    mask = jnp.ones((1, 1, 4, 4))
+    m = losses.aee_metrics(pred, gt, mask)
+    np.testing.assert_allclose(np.asarray(m["AEE"]), [2.5], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m["PE1"]), [1.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m["PE2"]), [1.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m["PE3"]), [0.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m["outlier"]), [0.0], atol=1e-5)
+
+
+def test_aee_respects_mask():
+    gt = jnp.zeros((1, 2, 2, 2))
+    pred = gt.at[:, 0, 0, 0].set(10.0)  # big error at one masked-out pixel
+    mask = jnp.ones((1, 1, 2, 2)).at[0, 0, 0, 0].set(0.0)
+    m = losses.aee_metrics(pred, gt, mask)
+    np.testing.assert_allclose(np.asarray(m["AEE"]), [0.0], atol=1e-5)
+
+
+def test_aae_zero_for_aligned_flow():
+    gt = jnp.ones((1, 2, 4, 4))
+    mask = jnp.ones((1, 1, 4, 4))
+    aae = losses.aae_metric(gt * 2.0, gt, mask)  # same direction, 2x magnitude
+    assert float(aae) < 0.1
+
+
+def test_sequence_loss_gamma_weighting():
+    gt = jnp.zeros((1, 2, 4, 4))
+    pred = gt + 1.0
+    mask = jnp.ones((1, 1, 4, 4))
+    l1 = losses.sequence_loss([pred], gt, mask, gamma=0.8)
+    l2 = losses.sequence_loss([pred, pred], gt, mask, gamma=0.8)
+    # weights: [1] vs [0.8, 1.0] -> ratio 1.8
+    np.testing.assert_allclose(float(l2) / float(l1), 1.8, rtol=1e-5)
