@@ -19,6 +19,8 @@ from sdformerflow_tpu.ops.normalization import encode_input
 
 
 def main():
+    from sdformerflow_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     h, w = 288, 384
     swin = SwinConfig(
         arc_type="swinv1",

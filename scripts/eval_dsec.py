@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""DSEC evaluation driver: center-crop protocol, AEE/PE/outlier/AAE metrics
+on the GT-valid mask, optional visualization + test-server submission PNGs.
+
+Replaces /root/reference/eval_DSEC_flow_SNN.py. The train config (model
+architecture) and the eval config (protocol) are merged, mirroring the
+reference's MLflow config merge. Run:
+
+    python scripts/eval_dsec.py --train_config configs/train_dsec_sdformerflow_en4.yaml \
+        --eval_config configs/valid_dsec.yaml --ckpt runs/en4/ckpt [--synthetic]
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from sdformerflow_tpu.data.augmentation import center_crop  # noqa: E402
+from sdformerflow_tpu.data.dsec import batch_iterator  # noqa: E402
+from sdformerflow_tpu.losses import aae_metric, aee_metrics  # noqa: E402
+from sdformerflow_tpu.models import get_model  # noqa: E402
+from sdformerflow_tpu.ops.normalization import encode_input  # noqa: E402
+from sdformerflow_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+from sdformerflow_tpu.training.config import (build_configs,  # noqa: E402
+                                              load_config)
+from sdformerflow_tpu.training.checkpoints import restore_checkpoint  # noqa: E402
+from sdformerflow_tpu.training.optim import build_optimizer  # noqa: E402
+from sdformerflow_tpu.training.train_step import (create_train_state,  # noqa: E402
+                                                  make_eval_step)
+from sdformerflow_tpu.utils.logging import RunLogger  # noqa: E402
+
+
+def merge_eval_config(train_cfg: dict, eval_cfg: dict) -> dict:
+    """Overlay the eval protocol onto the train config (parity with
+    YAMLParser.merge_configs semantics: eval settings win)."""
+    import copy
+    from sdformerflow_tpu.training.config import _merge
+    merged = copy.deepcopy(train_cfg)
+    _merge(merged, {k: v for k, v in eval_cfg.items()
+                    if isinstance(v, dict)})
+    return merged
+
+
+def main():
+    enable_compilation_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train_config", required=True)
+    ap.add_argument("--eval_config", default=None)
+    ap.add_argument("--ckpt", default=None, help="checkpoint dir")
+    ap.add_argument("--run_dir", default="runs/eval_dsec")
+    ap.add_argument("--path", default=None, help="override data.path")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--store_submission", action="store_true",
+                    help="write DSEC test-server 16-bit PNGs")
+    ap.add_argument("--store_vis", action="store_true")
+    args = ap.parse_args()
+
+    config = load_config(args.train_config)
+    if args.eval_config:
+        config = merge_eval_config(config, load_config(args.eval_config))
+    if args.path:
+        config["data"]["path"] = args.path
+
+    model_cfg, swin_cfg, spiking_cfg = build_configs(config)
+    name = config["model"]["name"]
+    model = get_model(name, model_cfg, swin_cfg, spiking_cfg)
+
+    encoding = config["model"].get("encoding", "voxel")
+    is_snn = "Spiking" in name
+    polarity = config["loader"].get("polarity", True) and is_snn
+    norm_input = config["model"].get("norm_input")
+    spike_th = config["data"].get("spike_th")
+    crop = config["loader"].get("crop")
+    batch_size = config["loader"]["batch_size"]
+
+    if args.synthetic:
+        from sdformerflow_tpu.data.dsec import SyntheticEventFlowDataset
+        res = config["loader"]["resolution"]
+        dataset = SyntheticEventFlowDataset(
+            num_samples=16, num_bins=config["model"]["num_bins"],
+            height=res[0], width=res[1], seed=7)
+    else:
+        from sdformerflow_tpu.data.dsec import DSECDatasetLite
+        dataset = DSECDatasetLite(config, "valid")
+
+    # init + optionally restore
+    sample, _, _ = dataset[0]
+    h, w = crop if crop else sample.shape[-2:]
+    sample_b = jnp.zeros((batch_size,) + sample.shape[:-2] + (h, w))
+    sample_enc = encode_input(sample_b, encoding=encoding, polarity=polarity,
+                              norm_input=norm_input, spike_th=spike_th)
+    tx = build_optimizer(lr=1e-4, steps_per_epoch=1)
+    state = create_train_state(model, tx, sample_enc, jax.random.PRNGKey(0))
+    if args.ckpt:
+        state, epoch = restore_checkpoint(args.ckpt, state)
+        print(f"restored checkpoint epoch {epoch}")
+
+    eval_step = make_eval_step(encoding=encoding, polarity=polarity,
+                               norm_input=norm_input, spike_th=spike_th,
+                               use_batch_stats=batch_size == 1)
+
+    vis = None
+    if args.store_vis or args.store_submission:
+        from sdformerflow_tpu.utils.visualization import FlowVisualizer
+        vis = FlowVisualizer(f"{args.run_dir}/vis", store=True)
+
+    flow_scaling = config["metrics"].get("flow_scaling", 1.0)
+    metric_names = config["metrics"].get("name", ["AEE"])
+    mask_events = config["metrics"].get("mask_events", False)
+    max_batches = config["test"].get("sample", 10 ** 9)
+
+    acc = {k: [] for k in ("AEE", "PE1", "PE2", "PE3", "outlier", "AAE")}
+    n = 0
+    for i, batch in enumerate(batch_iterator(dataset, batch_size,
+                                             drop_last=False)):
+        if i >= max_batches:
+            break
+        chunk = jnp.asarray(batch["chunk"])
+        label = jnp.asarray(batch["label"])
+        mask = jnp.asarray(batch["mask"])
+        if crop:
+            chunk, label, mask = center_crop(chunk, label, mask, tuple(crop))
+        flows = eval_step(state, chunk)
+        pred = flows[-1]
+        m = mask
+        if mask_events:
+            axes = (1, 2) if chunk.ndim == 5 else (1,)
+            ev = (jnp.abs(chunk).sum(axis=axes) != 0)
+            m = m * ev[:, None].astype(m.dtype)
+        stats = aee_metrics(pred, label, m, flow_scaling)
+        for k in ("AEE", "PE1", "PE2", "PE3", "outlier"):
+            acc[k].append(float(np.asarray(stats[k]).mean()))
+        if "AAE" in metric_names:
+            acc["AAE"].append(float(aae_metric(pred, label, m, flow_scaling)))
+        if vis is not None:
+            sub = np.asarray(pred[0]) if args.store_submission else None
+            vis.update(flow=np.asarray(pred[0]),
+                       gt_flow=np.asarray(label[0]), submission_flow=sub)
+        n += 1
+
+    results = {k: float(np.mean(v)) for k, v in acc.items() if v}
+    results["num_batches"] = n
+    logger = RunLogger(args.run_dir, config)
+    logger.log_artifact_dict("results.json", results)
+    logger.close()
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Config-driven supervised training loop (DSEC / MDR).
+
+Mirrors the reference drivers' structure
+(/root/reference/train_flow_parallel_supervised_SNN.py:29-494 and the
+ANN/MDR variants) in one reusable loop:
+- model built from the registry (no eval()),
+- AdamW + MultiStepLR(0.5) + global-norm clip + grad accumulation,
+- per-batch: augmentation -> on-device input encoding -> jitted train step
+  (forward/backward/update fused into one XLA program),
+- NaN-loss guard, epoch-best checkpointing, validation every ``n_valid``
+  epochs (capped at ``test.sample`` batches; batch_size==1 validates with
+  batch statistics — reference quirk),
+- data-parallel over the device mesh: batch sharded, params replicated.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.augmentation import build_train_augmentation, center_crop
+from ..data.dsec import batch_iterator
+from ..losses import flow_loss_supervised
+from ..models import get_model
+from ..ops.normalization import encode_input
+from ..parallel import make_mesh, replicate, shard_batch
+from ..utils.logging import RunLogger, count_parameters
+from .checkpoints import restore_checkpoint, save_checkpoint
+from .config import build_configs
+from .optim import build_optimizer
+from .train_step import create_train_state, make_eval_step, make_train_step
+
+
+def _sample_shape_batch(config, dataset):
+    chunk, mask, label = dataset[0]
+    crop = config["loader"].get("crop")
+    b = config["loader"]["batch_size"]
+    if crop is not None:
+        h, w = crop
+    else:
+        h, w = chunk.shape[-2:]
+    shape = chunk.shape[:-2] + (h, w)
+    return np.zeros((b,) + shape, np.float32)
+
+
+def train(config: dict, train_dataset, valid_dataset=None, *,
+          run_dir: str = "runs/default", resume: bool = False,
+          max_steps: Optional[int] = None):
+    model_cfg, swin_cfg, spiking_cfg = build_configs(config)
+    loader = config["loader"]
+    loss_cfg = config["loss"]
+    opt_cfg = config["optimizer"]
+    name = config["model"]["name"]
+
+    model = get_model(name, model_cfg, swin_cfg, spiking_cfg)
+
+    batch_size = loader["batch_size"]
+    steps_per_epoch = max(len(train_dataset) // batch_size, 1)
+    tx = build_optimizer(
+        name=opt_cfg.get("name", "AdamW"), lr=opt_cfg.get("lr", 1e-4),
+        weight_decay=opt_cfg.get("wd", 0.01),
+        scheduler=opt_cfg.get("scheduler", "multistep"),
+        milestones=opt_cfg.get("milestones", ()),
+        steps_per_epoch=steps_per_epoch,
+        n_epochs=loader.get("n_epochs", 60),
+        clip_grad=loss_cfg.get("clip_grad"),
+        num_acc=opt_cfg.get("num_acc", 1))
+
+    encoding = config["model"].get("encoding", "voxel")
+    polarity = loader.get("polarity", True)
+    norm_input = config["model"].get("norm_input")
+    spike_th = config["data"].get("spike_th")
+    is_snn = "Spiking" in name
+
+    sample = _sample_shape_batch(config, train_dataset)
+    sample_enc = encode_input(jnp.asarray(sample), encoding=encoding,
+                              polarity=polarity and is_snn,
+                              norm_input=norm_input, spike_th=spike_th)
+    rng = jax.random.PRNGKey(loader.get("seed", 0))
+    state = create_train_state(model, tx, sample_enc, rng)
+
+    logger = RunLogger(run_dir, config)
+    logger.log_artifact_dict("model_info.json", {
+        "model": name, "params": count_parameters(state.params)})
+
+    start_epoch = 0
+    if resume:
+        state, start_epoch = restore_checkpoint(f"{run_dir}/ckpt", state)
+        start_epoch += 1
+
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+
+    train_step = make_train_step(
+        encoding=encoding, polarity=polarity and is_snn,
+        norm_input=norm_input, spike_th=spike_th,
+        flow_scaling=config["metrics"].get("flow_scaling", 1.0),
+        gamma=loss_cfg.get("gamma"),
+        mask_events=config["metrics"].get("mask_events", False))
+    eval_step = make_eval_step(
+        encoding=encoding, polarity=polarity and is_snn,
+        norm_input=norm_input, spike_th=spike_th,
+        use_batch_stats=batch_size == 1)
+
+    augment = build_train_augmentation(
+        loader.get("augment"), loader.get("augment_prob"),
+        crop=loader.get("crop"),
+        max_drop_rate=loader.get("max_drop_rate", 0.6))
+    aug_jit = jax.jit(augment)
+
+    crop = loader.get("crop")
+    best_loss = math.inf
+    global_step = 0
+    n_epochs = loader.get("n_epochs", 60)
+    for epoch in range(start_epoch, n_epochs):
+        epoch_loss, n_samples = 0.0, 0
+        t0 = time.time()
+        for batch in batch_iterator(train_dataset, batch_size, shuffle=True,
+                                    seed=loader.get("seed", 0) + epoch):
+            batch = shard_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+            key = jax.random.fold_in(rng, global_step)
+            ev, fl, mk = aug_jit(key, batch["chunk"], batch["label"],
+                                 batch["mask"])
+            batch = {"chunk": ev, "label": fl, "mask": mk}
+            state, metrics = train_step(state, batch,
+                                        jax.random.fold_in(key, 1))
+            loss = float(metrics["loss"])
+            if math.isnan(loss):
+                raise RuntimeError(f"NaN loss at step {global_step}")
+            epoch_loss += loss * batch_size
+            n_samples += batch_size
+            global_step += 1
+            if max_steps is not None and global_step >= max_steps:
+                break
+
+        epoch_loss /= max(n_samples, 1)
+        logger.log_metric("train_loss", epoch_loss, epoch)
+        logger.log_metric("epoch_time_s", time.time() - t0, epoch)
+
+        if epoch_loss < best_loss:
+            save_checkpoint(f"{run_dir}/ckpt", state, epoch,
+                            metrics={"train_loss": epoch_loss})
+            best_loss = epoch_loss
+
+        if (valid_dataset is not None
+                and epoch % config["test"].get("n_valid", 5) == 0):
+            vloss = validate(config, state, eval_step, valid_dataset,
+                             crop=crop)
+            logger.log_metric("valid_loss", vloss, epoch)
+
+        if max_steps is not None and global_step >= max_steps:
+            break
+
+    logger.close()
+    return state
+
+
+def validate(config, state, eval_step, dataset, crop=None):
+    loader = config["loader"]
+    batch_size = loader["batch_size"]
+    max_batches = config["test"].get("sample", 40)
+    total, count = 0.0, 0
+    for i, batch in enumerate(batch_iterator(dataset, batch_size)):
+        if i >= max_batches:
+            break
+        chunk = jnp.asarray(batch["chunk"])
+        label = jnp.asarray(batch["label"])
+        mask = jnp.asarray(batch["mask"])
+        if crop is not None:
+            chunk, label, mask = center_crop(chunk, label, mask, tuple(crop))
+        flows = eval_step(state, chunk)
+        loss = flow_loss_supervised(
+            flows, label, mask,
+            flow_scaling=config["metrics"].get("flow_scaling", 1.0))
+        total += float(loss) * batch_size
+        count += batch_size
+    return total / max(count, 1)

@@ -1,0 +1,103 @@
+"""Flow/event visualization and the DSEC test-server submission writer.
+
+Parity targets: /root/reference/utils/visualization.py
+- flow_to_image (:256-282): HSV color wheel (hue = angle, value = normalized
+  magnitude).
+- DSEC submission writer (:198-207): 16-bit PNG with
+  channel0 = flow_x * 128 + 2^15, channel1 = flow_y * 128 + 2^15, channel2=0.
+- events_to_image (:296-341): green(ON)/red(OFF) event rendering.
+
+Host-side numpy + PIL/imageio; no live cv2 windows (headless TPU hosts) —
+images are stored to disk instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def flow_to_image(flow_x: np.ndarray, flow_y: np.ndarray) -> np.ndarray:
+    """[H, W] x2 -> [H, W, 3] uint8 color-wheel rendering."""
+    import matplotlib.colors
+    mag = np.sqrt(flow_x ** 2 + flow_y ** 2)
+    min_mag = mag.min()
+    mag_range = mag.max() - min_mag
+    ang = (np.arctan2(flow_y, flow_x) + np.pi) / (2.0 * np.pi)
+    hsv = np.zeros(flow_x.shape + (3,))
+    hsv[..., 0] = ang
+    hsv[..., 1] = 1.0
+    hsv[..., 2] = mag - min_mag
+    if mag_range != 0.0:
+        hsv[..., 2] /= mag_range
+    return (255 * matplotlib.colors.hsv_to_rgb(hsv)).astype(np.uint8)
+
+
+def events_to_image(event_cnt: np.ndarray) -> np.ndarray:
+    """[2, H, W] per-polarity counts -> green(ON)/red(OFF) uint8 image."""
+    pos, neg = event_cnt[0], event_cnt[1]
+    img = np.zeros(pos.shape + (3,), np.uint8)
+    img[pos > 0] = [0, 255, 0]
+    img[neg > 0] = [255, 0, 0]
+    img[(pos > 0) & (neg > 0)] = [255, 255, 0]
+    return img
+
+
+def write_flow_png(path: str, flow: np.ndarray):
+    """DSEC submission format: [2, H, W] float flow -> 16-bit RGB PNG with
+    v * 128 + 2^15 encoding in channels 0/1 (cv2 writes uint16 PNGs)."""
+    import cv2
+    h, w = flow.shape[-2:]
+    out = np.zeros((h, w, 3), np.uint16)
+    out[..., 0] = (flow[0] * 128.0 + 2 ** 15).astype(np.uint16)
+    out[..., 1] = (flow[1] * 128.0 + 2 ** 15).astype(np.uint16)
+    cv2.imwrite(path, out[..., ::-1])  # cv2 expects BGR channel order
+
+
+def read_flow_png(path: str):
+    """Inverse of write_flow_png: returns (flow [2, H, W], valid [H, W])."""
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)[..., ::-1].astype(np.float64)
+    flow = np.stack([(img[..., 0] - 2 ** 15) / 128.0,
+                     (img[..., 1] - 2 ** 15) / 128.0])
+    valid = img[..., 2].astype(bool) if img.shape[-1] > 2 else np.ones(
+        img.shape[:2], bool)
+    return flow.astype(np.float32), valid
+
+
+class FlowVisualizer:
+    """Store per-sample visualizations under a run directory (replaces the
+    reference's live cv2 windows + store mode)."""
+
+    def __init__(self, out_dir: str, store: bool = True):
+        self.out_dir = out_dir
+        self.store = store
+        self.idx = 0
+        if store:
+            for sub in ("flow", "events", "gtflow", "submission"):
+                os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    def update(self, event_cnt=None, gt_flow=None, flow=None,
+               submission_flow=None):
+        if not self.store:
+            self.idx += 1
+            return
+        import imageio.v2 as imageio
+        if flow is not None:
+            img = flow_to_image(np.asarray(flow[0]), np.asarray(flow[1]))
+            imageio.imwrite(os.path.join(self.out_dir, "flow",
+                                         f"{self.idx:09d}.png"), img)
+        if gt_flow is not None:
+            img = flow_to_image(np.asarray(gt_flow[0]), np.asarray(gt_flow[1]))
+            imageio.imwrite(os.path.join(self.out_dir, "gtflow",
+                                         f"{self.idx:09d}.png"), img)
+        if event_cnt is not None:
+            imageio.imwrite(os.path.join(self.out_dir, "events",
+                                         f"{self.idx:09d}.png"),
+                            events_to_image(np.asarray(event_cnt)))
+        if submission_flow is not None:
+            write_flow_png(os.path.join(self.out_dir, "submission",
+                                        f"{self.idx:06d}.png"),
+                           np.asarray(submission_flow))
+        self.idx += 1

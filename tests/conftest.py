@@ -10,4 +10,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize prepends its TPU platform to jax_platforms at import
+# time; override the config (env vars alone are not enough).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
