@@ -28,23 +28,12 @@ from sdformerflow_tpu.models import get_model  # noqa: E402
 from sdformerflow_tpu.ops.normalization import encode_input  # noqa: E402
 from sdformerflow_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 from sdformerflow_tpu.training.config import (build_configs,  # noqa: E402
-                                              load_config)
+                                              load_config, merge_eval_config)
 from sdformerflow_tpu.training.checkpoints import restore_checkpoint  # noqa: E402
 from sdformerflow_tpu.training.optim import build_optimizer  # noqa: E402
 from sdformerflow_tpu.training.train_step import (create_train_state,  # noqa: E402
                                                   make_eval_step)
 from sdformerflow_tpu.utils.logging import RunLogger  # noqa: E402
-
-
-def merge_eval_config(train_cfg: dict, eval_cfg: dict) -> dict:
-    """Overlay the eval protocol onto the train config (parity with
-    YAMLParser.merge_configs semantics: eval settings win)."""
-    import copy
-    from sdformerflow_tpu.training.config import _merge
-    merged = copy.deepcopy(train_cfg)
-    _merge(merged, {k: v for k, v in eval_cfg.items()
-                    if isinstance(v, dict)})
-    return merged
 
 
 def main():

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""MVSEC evaluation (dt1/dt4 cross-dataset transfer): 256x256 center crop,
+AEE/AAE on |flow|<1000 validity (outdoor_day1 masks car-hood rows), optional
+event-occupancy masking.
+
+Replaces /root/reference/eval_MV_flow_SNN.py.
+
+    python scripts/eval_mvsec.py --train_config configs/train_mdr_sdformerflow.yaml \
+        --eval_config configs/eval_mvsec.yaml --ckpt runs/mdr/ckpt
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from sdformerflow_tpu.data.dsec import batch_iterator  # noqa: E402
+from sdformerflow_tpu.losses import aae_metric, aee_metrics  # noqa: E402
+from sdformerflow_tpu.models import get_model  # noqa: E402
+from sdformerflow_tpu.ops.normalization import encode_input  # noqa: E402
+from sdformerflow_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+from sdformerflow_tpu.training.config import build_configs, load_config  # noqa: E402
+from sdformerflow_tpu.training.checkpoints import restore_checkpoint  # noqa: E402
+from sdformerflow_tpu.training.optim import build_optimizer  # noqa: E402
+from sdformerflow_tpu.training.train_step import (create_train_state,  # noqa: E402
+                                                  make_eval_step)
+from sdformerflow_tpu.utils.logging import RunLogger  # noqa: E402
+
+
+def main():
+    enable_compilation_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train_config", required=True)
+    ap.add_argument("--eval_config", default=None)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--run_dir", default="runs/eval_mvsec")
+    ap.add_argument("--path", default=None)
+    ap.add_argument("--sequence", default=None,
+                    help="override data.test_sequence")
+    ap.add_argument("--synthetic", action="store_true")
+    args = ap.parse_args()
+
+    config = load_config(args.train_config)
+    if args.eval_config:
+        from sdformerflow_tpu.training.config import merge_eval_config
+        config = merge_eval_config(config, load_config(args.eval_config))
+    if args.path:
+        config["data"]["path"] = args.path
+    if args.sequence:
+        config["data"]["test_sequence"] = args.sequence
+
+    num_chunks = config["data"].get("num_chunks", 1)
+    crop = tuple(config["loader"].get("crop", (256, 256)))
+    batch_size = config["loader"]["batch_size"]
+    mask_events = config["metrics"].get("mask_events", False)
+
+    if args.synthetic:
+        from sdformerflow_tpu.data.dsec import SyntheticEventFlowDataset
+        bins = config["data"]["num_frames"] * num_chunks
+        dataset = SyntheticEventFlowDataset(8, bins, crop[0], crop[1], seed=3)
+    else:
+        from sdformerflow_tpu.data.adapters import MvsecChunkAdapter
+        if config["data"].get("event_interval", "dt1") == "dt1":
+            from sdformerflow_tpu.data.mvsec import MvsecEventFlow
+            mv = MvsecEventFlow(config, train=False)
+        else:
+            from sdformerflow_tpu.data.mvsec import MvsecEventFlow_dt4
+            mv = MvsecEventFlow_dt4(config, train=False)
+        dataset = MvsecChunkAdapter(mv, num_chunks, mask_events=mask_events)
+
+    model_cfg, swin_cfg, spiking_cfg = build_configs(config)
+    swin_cfg = swin_cfg.replace(input_size=crop)
+    name = config["model"]["name"]
+    model = get_model(name, model_cfg, swin_cfg, spiking_cfg)
+    is_snn = "Spiking" in name
+    polarity = config["loader"].get("polarity", True) and is_snn
+    norm_input = config["model"].get("norm_input")
+    spike_th = config["data"].get("spike_th")
+
+    chunk0, _, _ = dataset[0]
+    sample = jnp.zeros((batch_size,) + chunk0.shape, jnp.float32)
+    sample_enc = encode_input(sample, polarity=polarity,
+                              norm_input=norm_input, spike_th=spike_th)
+    tx = build_optimizer(lr=1e-4, steps_per_epoch=1)
+    state = create_train_state(model, tx, sample_enc, jax.random.PRNGKey(0))
+    if args.ckpt:
+        state, epoch = restore_checkpoint(args.ckpt, state)
+        print(f"restored checkpoint epoch {epoch}")
+
+    eval_step = make_eval_step(polarity=polarity, norm_input=norm_input,
+                               spike_th=spike_th,
+                               use_batch_stats=batch_size == 1)
+
+    flow_scaling = config["metrics"].get("flow_scaling", 1.0)
+    max_batches = config["test"].get("sample", 10 ** 9)
+    acc = {k: [] for k in ("AEE", "PE1", "PE2", "PE3", "outlier", "AAE")}
+    n = 0
+    for i, batch in enumerate(batch_iterator(dataset, batch_size,
+                                             drop_last=False)):
+        if i >= max_batches:
+            break
+        flows = eval_step(state, jnp.asarray(batch["chunk"]))
+        pred = flows[-1]
+        label = jnp.asarray(batch["label"])
+        mask = jnp.asarray(batch["mask"])
+        stats = aee_metrics(pred, label, mask, flow_scaling)
+        for k in ("AEE", "PE1", "PE2", "PE3", "outlier"):
+            acc[k].append(float(np.asarray(stats[k]).mean()))
+        acc["AAE"].append(float(aae_metric(pred, label, mask, flow_scaling)))
+        n += 1
+
+    results = {k: float(np.mean(v)) for k, v in acc.items() if v}
+    results["num_batches"] = n
+    results["sequence"] = config["data"].get("test_sequence")
+    logger = RunLogger(args.run_dir, config)
+    logger.log_artifact_dict("results.json", results)
+    logger.close()
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

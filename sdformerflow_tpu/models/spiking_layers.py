@@ -37,12 +37,25 @@ from .common import SpikingConfig, xavier_uniform
 
 
 class SpikingNeuron(nn.Module):
-    """Config-driven neuron over [T, ...] inputs (time axis leading)."""
+    """Config-driven neuron over [T, ...] inputs (time axis leading).
+
+    Firing-rate telemetry: every call sows the mean spike rate into the
+    ``intermediates`` collection (key ``spike_rate``) — apply with
+    ``mutable=["intermediates"]`` to collect per-site firing rates, the
+    equivalent of the reference's SpikingJelly OutputMonitor
+    (eval_DSEC_flow_SNN.py:140-149).
+    """
 
     cfg: SpikingConfig
 
     @nn.compact
     def __call__(self, x_seq):
+        out = self._fire(x_seq)
+        self.sow("intermediates", "spike_rate",
+                 jnp.mean((out != 0).astype(jnp.float32)))
+        return out
+
+    def _fire(self, x_seq):
         cfg = self.cfg
         sg = get_surrogate(cfg.surrogate, cfg.surrogate_alpha)
         kind = cfg.neuron_type.lower()

@@ -60,6 +60,14 @@ def load_config(path: str) -> dict:
     return combine_entries(cfg)
 
 
+def merge_eval_config(train_cfg: dict, eval_cfg: dict) -> dict:
+    """Overlay an eval-protocol config onto a train config (eval wins) —
+    parity with YAMLParser.merge_configs semantics."""
+    merged = copy.deepcopy(train_cfg)
+    _merge(merged, {k: v for k, v in eval_cfg.items() if isinstance(v, dict)})
+    return merged
+
+
 def combine_entries(config: dict) -> dict:
     """Fold the top-level spiking_neuron section into model (parity with
     YAMLParser.combine_entries)."""

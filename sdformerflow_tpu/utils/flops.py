@@ -1,0 +1,112 @@
+"""Analytic FLOP / synaptic-op counting for the model zoo.
+
+The reference threads hand-written ``flops()`` / ``record_flops()`` methods
+through every model class (SURVEY §5). Here a single analytic routine walks
+the architecture config — same formulas, one place:
+conv: Cin*Cout*k^2*H*W; linear: N*Cin*Cout; attention per window:
+qkv + scores + values + proj (Spiking_swin_transformer3D.py:377-411).
+
+``record_flops`` returns a nested dict; ``total_flops`` the scalar sum.
+For XLA-measured (not analytic) numbers use
+``jax.jit(fn).lower(*args).compile().cost_analysis()`` — exposed via
+``compiled_flops``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from ..models.common import SwinConfig
+
+
+def _attention_flops(dim, num_heads, window_size, n_windows, linear_qk=False):
+    N = window_size[0] * window_size[1] * window_size[2]
+    rec = {}
+    rec["q"] = n_windows * N * dim * dim
+    rec["k"] = n_windows * N * dim * dim
+    if not linear_qk:
+        rec["v"] = n_windows * N * dim * dim
+        rec["attn"] = 2 * n_windows * num_heads * N * N * (dim // num_heads)
+    else:
+        # att_token = sum_c q (N*dim adds), attn = k * token (N*dim mults)
+        rec["attn"] = 2 * n_windows * N * dim
+    rec["proj"] = n_windows * N * dim * dim
+    return rec
+
+
+def _mlp_flops(dim, mlp_ratio, H, W):
+    hidden = int(dim * mlp_ratio)
+    return {"mlp0": H * W * dim * hidden, "mlp1": H * W * hidden * dim}
+
+
+def record_flops_spikingformer(swin: SwinConfig, *, base_channels=96,
+                               num_encoders=4, num_residual_blocks=2,
+                               num_output_channels=2, kernel_size=3,
+                               num_ch=2, ms=True) -> Dict:
+    """Per-layer FLOP record for SpikingformerFlowNet (matches the
+    reference's record_flops structure)."""
+    H, W = swin.input_size
+    embed = base_channels
+    rec: Dict = {}
+
+    # patch embed (PED conv sfn): head, stride-2 conv, resblocks, proj
+    pe = {}
+    pe["head"] = num_ch * (embed // 2) * 9 * H * W
+    pe["conv"] = (embed // 2) * embed * 9 * H * W // 4
+    for i in range(2):
+        pe[f"res{i}_conv0"] = embed * embed * 9 * H * W // 4
+        pe[f"res{i}_conv1"] = embed * embed * 9 * H * W // 4
+    ph, pw = H // swin.patch_size[-2] // 2, W // swin.patch_size[-1] // 2
+    pe["proj"] = embed * embed * 9 * ph * pw
+    rec["patch_embed"] = pe
+
+    # swin stages
+    h, w = ph, pw
+    for i, depth in enumerate(swin.depths):
+        dim = embed * 2 ** i
+        stage = {}
+        n_windows = (h * w) // (swin.window_size[1] * swin.window_size[2])
+        for b in range(depth):
+            blk = {}
+            blk["attn"] = _attention_flops(dim, swin.num_heads[i],
+                                           swin.window_size, n_windows,
+                                           linear_qk=ms)
+            blk.update(_mlp_flops(dim, swin.mlp_ratio, h, w))
+            stage[f"block{b}"] = blk
+        if i < len(swin.depths) - 1:
+            stage["downsample"] = (h // 2) * (w // 2) * 4 * dim * 2 * dim
+            h, w = h // 2, w // 2
+        rec[f"layer{i}"] = stage
+
+    # bottleneck residual blocks + decoder
+    max_ch = embed * 2 ** (num_encoders - 1)
+    for i in range(num_residual_blocks):
+        rec[f"res{i}_conv0"] = max_ch * max_ch * 9 * h * w
+        rec[f"res{i}_conv1"] = max_ch * max_ch * 9 * h * w
+    out_sizes = [embed * 2 ** i for i in range(num_encoders)]
+    in_sizes = [embed] + out_sizes[:-1]
+    dh, dw = h, w
+    for i, (inp, outp) in enumerate(zip(reversed(out_sizes),
+                                        reversed(in_sizes))):
+        pred_ch = 0 if i == 0 else num_output_channels
+        dh, dw = dh * 2, dw * 2
+        rec[f"decoder{i}"] = ((2 * inp + pred_ch) * outp * dh * dw
+                              * kernel_size * kernel_size)
+        rec[f"pred{i}"] = outp * num_output_channels * dh * dw
+    return rec
+
+
+def total_flops(record) -> int:
+    if isinstance(record, dict):
+        return sum(total_flops(v) for v in record.values())
+    return int(record)
+
+
+def compiled_flops(fn, *args) -> float:
+    """XLA's own cost analysis of a jitted function (real, not analytic)."""
+    import jax
+    compiled = jax.jit(fn).lower(*args).compile()
+    analysis = compiled.cost_analysis()
+    if isinstance(analysis, list):
+        analysis = analysis[0]
+    return float(analysis.get("flops", -1.0))
