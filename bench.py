@@ -1,6 +1,11 @@
 """Benchmark: SDformerFlow (MS_SpikingformerFlowNet_en4) inference throughput
 on the DSEC eval protocol shapes (288x384 center crop, 10-bin per-polarity
-voxels, T=10, PSN neurons) on one TPU chip.
+voxels, T=10, PSN neurons) on one TPU chip, bf16 inference path.
+
+Methodology note: through the axon TPU tunnel ``block_until_ready`` does not
+reliably wait for execution, so iterations are serialized by feeding each
+forward's output into the next input (device-side data dependency) and the
+result is fetched once at the end — this measures true device time.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no numeric throughput baseline (BASELINE.md), so
@@ -16,12 +21,13 @@ import jax.numpy as jnp
 from sdformerflow_tpu.models.common import SpikingConfig, SwinConfig
 from sdformerflow_tpu.models.snn_flownet import SpikingformerFlowNet
 from sdformerflow_tpu.ops.normalization import encode_input
+from sdformerflow_tpu.utils.cache import enable_compilation_cache
 
 
 def main():
-    from sdformerflow_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     h, w = 288, 384
+    batch = 1  # DSEC eval protocol uses batch_size 1
     swin = SwinConfig(
         arc_type="swinv1",
         patch_embed_type="MS_PED_Spiking_PatchEmbed_Conv_sfn",
@@ -35,26 +41,30 @@ def main():
                                  use_upsample_conv=False, ms=True)
 
     rng = jax.random.PRNGKey(0)
-    chunk = jax.random.normal(rng, (1, 10, h, w), jnp.float32)
-    x0 = encode_input(chunk)
+    chunk = jax.random.normal(rng, (batch, 10, h, w), jnp.float32)
     variables = jax.jit(lambda r, x: model.init({"params": r}, x, False))(
-        rng, x0)
+        rng, encode_input(chunk))
+    bf16_vars = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
+                                       variables)
 
     @jax.jit
-    def forward(variables, chunk):
-        x = encode_input(chunk)
-        return model.apply(variables, x, False)["flow"][-1]
+    def step(v, c):
+        out = model.apply(v, encode_input(c).astype(jnp.bfloat16),
+                          False)["flow"][-1]
+        # chain: next input depends on this forward's output
+        return c + 0.0 * out.sum().astype(jnp.float32)
 
     # warmup / compile
-    forward(variables, chunk).block_until_ready()
+    float(step(bf16_vars, chunk).sum())
 
-    iters = 30
+    iters = 20
+    o = chunk
     start = time.perf_counter()
     for _ in range(iters):
-        out = forward(variables, chunk)
-    out.block_until_ready()
+        o = step(bf16_vars, o)
+    float(o.sum())  # single forced fetch
     elapsed = time.perf_counter() - start
-    windows_per_sec = iters / elapsed
+    windows_per_sec = batch * iters / elapsed
 
     print(json.dumps({
         "metric": "sdformerflow_en4_dsec_eval_inference",
