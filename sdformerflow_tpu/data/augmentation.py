@@ -113,6 +113,20 @@ def rotation_flip(rng, events, flow, mask, degrees=(0.0, 0.0),
     return ev, fl, mk
 
 
+def downsample_data(arrays, scale_factor: float):
+    """Bilinearly downscale a tuple of [..., C, H, W] tensors (reference
+    downsample_data, data_augmentation.py:291-298)."""
+    from ..ops.interpolate import resize_bilinear
+    out = []
+    for a in arrays:
+        h = int(a.shape[-2] * scale_factor)
+        w = int(a.shape[-1] * scale_factor)
+        chl = jnp.moveaxis(a, -3, -1)  # channels-last for resize
+        res = resize_bilinear(chl, (h, w))
+        out.append(jnp.moveaxis(res, -1, -3))
+    return tuple(out)
+
+
 def build_train_augmentation(augment_names, augment_prob, crop=None,
                              max_drop_rate=0.6):
     """Compose the reference's configured train transforms into one jittable

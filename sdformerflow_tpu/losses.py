@@ -35,6 +35,39 @@ def masked_epe(flow, gt_flow, mask, num_valid_px):
     return error.sum(axis=1) / (num_valid_px + 1e-9)
 
 
+def angular_loss(flow, gt_flow, mask, num_valid_px, epsilon=1e-8):
+    """Masked mean angular error in radians (reference
+    angular_loss_function, flow_supervised.py:32-39; unused by the training
+    configs but part of the loss API)."""
+    flow_mag = jnp.sqrt((flow ** 2).sum(axis=1) + epsilon)
+    gt_mag = jnp.sqrt((gt_flow ** 2).sum(axis=1) + epsilon)
+    dot = flow[:, 0] * gt_flow[:, 0] + flow[:, 1] * gt_flow[:, 1]
+    cos = (dot + epsilon) / (flow_mag * gt_mag + epsilon)
+    cos = jnp.clip(cos, -1.0 + epsilon, 1.0 - epsilon)
+    mask = mask.squeeze(1) if mask.ndim == 4 else mask
+    return (jnp.arccos(cos) * mask).sum() / (num_valid_px + 1e-9)
+
+
+def relative_loss(flow, gt_flow, mask, num_valid_px, epsilon=1e-7):
+    """EPE normalized by GT magnitude (rel_loss_function, :41-45)."""
+    error = jnp.sqrt(((flow - gt_flow) ** 2).sum(axis=1))
+    gt_mag = jnp.sqrt((gt_flow ** 2).sum(axis=1))
+    mask = mask.squeeze(1) if mask.ndim == 4 else mask
+    return ((error * mask) / (gt_mag + epsilon)).sum() / (num_valid_px + 1e-9)
+
+
+def cosine_loss(flow, gt_flow, mask, num_valid_px, epsilon=1e-7):
+    """1 - cosine similarity of flow directions (cosine_loss_function,
+    :47-54)."""
+    flow_mag = jnp.sqrt((flow ** 2).sum(axis=1))
+    gt_mag = jnp.sqrt((gt_flow ** 2).sum(axis=1))
+    dot = flow[:, 0] * gt_flow[:, 0] + flow[:, 1] * gt_flow[:, 1]
+    cos = (dot + epsilon) / (flow_mag * gt_mag + epsilon)
+    cos = jnp.clip(cos, -1.0 + epsilon, 1.0 - epsilon)
+    mask = mask.squeeze(1) if mask.ndim == 4 else mask
+    return ((1.0 - cos) * mask).sum() / (num_valid_px + 1e-9)
+
+
 def sequence_loss(pred_list, gt_flow, valid, gamma=0.8, max_flow=MAX_FLOW):
     """RAFT-style gamma-weighted L1 sequence loss with magnitude validity."""
     n = len(pred_list)

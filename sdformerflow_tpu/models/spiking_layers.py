@@ -83,9 +83,12 @@ class SpikingNeuron(nn.Module):
             assert x_seq.shape[0] == T, (
                 f"PSN built for T={T} but input has T={x_seq.shape[0]}")
             bound = math.sqrt(1.0 / T)  # kaiming_uniform(a=sqrt(5)) on [T, T]
-            weight = self.param(
-                "weight", nn.initializers.uniform(scale=2 * bound), (T, T))
-            weight = weight - bound  # uniform(-bound, bound)
+
+            def _uniform_sym(key, shape):
+                return jax.random.uniform(key, shape, jnp.float32,
+                                          -bound, bound)
+
+            weight = self.param("weight", _uniform_sym, (T, T))
             bias = self.param("bias", nn.initializers.constant(-1.0), (T, 1))
             return neurons.psn_neuron(x_seq, weight, bias, surrogate_fn=sg)
         if kind == "glif":
@@ -469,6 +472,121 @@ class SpikingPEDLayer(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, axis=-1, name="norm")(x)
         return x + x_res
+
+
+class MSSepConv(nn.Module):
+    """Inverted separable conv (MobileNetV2-style) with MS spikes:
+    spike -> pwconv -> norm -> spike -> dwconv -> pwconv -> norm.
+    Parity: MS_SepConv (Spiking_modules.py:148-197)."""
+
+    dim: int
+    cfg: SpikingConfig
+    kernel_size: int = 7
+    expansion_ratio: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.cfg.spike_norm
+        med = int(self.expansion_ratio * self.dim)
+        use_bias = norm is None
+        pad = self.kernel_size // 2
+        x = SpikingNeuron(self.cfg, name="sn1")(x)
+        x = nn.Conv(med, (1, 1), use_bias=use_bias,
+                    kernel_init=xavier_uniform, name="pwconv1")(x)
+        if norm is not None:
+            x = SpikingNorm(med, self.cfg.num_steps, norm, self.cfg.v_th,
+                            name="norm1")(x, train)
+        x = SpikingNeuron(self.cfg, name="sn2")(x)
+        x = nn.Conv(med, (self.kernel_size, self.kernel_size),
+                    padding=((pad, pad), (pad, pad)), feature_group_count=med,
+                    use_bias=use_bias, kernel_init=xavier_uniform,
+                    name="dwconv")(x)
+        x = nn.Conv(self.dim, (1, 1), use_bias=use_bias,
+                    kernel_init=xavier_uniform, name="pwconv2")(x)
+        if norm is not None:
+            x = SpikingNorm(self.dim, self.cfg.num_steps, norm, self.cfg.v_th,
+                            name="norm2")(x, train)
+        return x
+
+
+class MSSpikingSepConvEncoderBlock(nn.Module):
+    """SepConv residual + (spike->conv3x3->norm) x2 residual.
+    Parity: MS_SpikingSepConvEncoderBlock (Spiking_modules.py:199-248)."""
+
+    in_channels: int
+    out_channels: int
+    cfg: SpikingConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.cfg.spike_norm
+        use_bias = norm is None
+        x = MSSepConv(self.in_channels, self.cfg, name="sep")(x, train) + x
+        feat = x
+        x = SpikingNeuron(self.cfg, name="sn1")(x)
+        x = conv2d(self.out_channels, 3, 1, 1, use_bias=use_bias,
+                   name="conv1")(x)
+        if norm is not None:
+            x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
+                            self.cfg.v_th, name="norm1")(x, train)
+        x = SpikingNeuron(self.cfg, name="sn2")(x)
+        x = conv2d(self.in_channels, 3, 1, 1, use_bias=use_bias,
+                   name="conv2")(x)
+        if norm is not None:
+            x = SpikingNorm(self.in_channels, self.cfg.num_steps, norm,
+                            self.cfg.v_th, name="norm2")(x, train)
+        return feat + x
+
+
+class MSSpikingSepTransposeDecoderLayer(nn.Module):
+    """(spike -> deconv3x3 x2 -> norm) -> (spike -> 1x1 deconv x2 -> norm).
+    Parity: MS_SpikingSepTransposeDecoderLayer (Spiking_modules.py:476-544)."""
+
+    out_channels: int
+    cfg: SpikingConfig
+    kernel_size: int = 3
+    scale: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.cfg.spike_norm
+        use_bias = norm is None
+        in_ch = x.shape[-1]
+        x = SpikingNeuron(self.cfg, name="sn1")(x)
+        x = conv_transpose2d(in_ch, self.kernel_size, 2, use_bias=use_bias,
+                             name="deconv1")(x)
+        if norm is not None:
+            x = SpikingNorm(in_ch, self.cfg.num_steps, norm, self.cfg.v_th,
+                            name="norm1")(x, train)
+        x = SpikingNeuron(self.cfg, name="sn2")(x)
+        x = conv_transpose2d(self.out_channels, 1, 2, use_bias=use_bias,
+                             name="deconv2")(x)
+        if norm is not None:
+            x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
+                            self.cfg.v_th, name="norm2")(x, train)
+        return x
+
+
+class MSSpikingSepPredLayer(nn.Module):
+    """spike -> pwconv -> dwconv prediction head.
+    Parity: MS_SpikingSepPredLayer (Spiking_modules.py:649-702)."""
+
+    out_channels: int
+    cfg: SpikingConfig
+    kernel_size: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.kernel_size // 2
+        x = SpikingNeuron(self.cfg, name="sn")(x)
+        x = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                    kernel_init=xavier_uniform, name="pwconv")(x)
+        x = nn.Conv(self.out_channels,
+                    (self.kernel_size, self.kernel_size),
+                    padding=((pad, pad), (pad, pad)),
+                    feature_group_count=self.out_channels, use_bias=True,
+                    kernel_init=xavier_uniform, name="dwconv")(x)
+        return x
 
 
 def drop_path(x, rate: float, deterministic: bool, rng=None,
