@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--store_submission", action="store_true",
                     help="write DSEC test-server 16-bit PNGs")
     ap.add_argument("--store_vis", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 inference path")
+    ap.add_argument("--store_spike_rates", action="store_true",
+                    help="record per-neuron-site firing rates (SNN only)")
     args = ap.parse_args()
 
     config = load_config(args.train_config)
@@ -90,9 +94,11 @@ def main():
         state, epoch = restore_checkpoint(args.ckpt, state)
         print(f"restored checkpoint epoch {epoch}")
 
-    eval_step = make_eval_step(encoding=encoding, polarity=polarity,
-                               norm_input=norm_input, spike_th=spike_th,
-                               use_batch_stats=batch_size == 1)
+    eval_step = make_eval_step(
+        encoding=encoding, polarity=polarity, norm_input=norm_input,
+        spike_th=spike_th, use_batch_stats=batch_size == 1,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        collect_spike_rates=args.store_spike_rates)
 
     vis = None
     if args.store_vis or args.store_submission:
@@ -105,6 +111,7 @@ def main():
     max_batches = config["test"].get("sample", 10 ** 9)
 
     acc = {k: [] for k in ("AEE", "PE1", "PE2", "PE3", "outlier", "AAE")}
+    spike_rates = None
     n = 0
     for i, batch in enumerate(batch_iterator(dataset, batch_size,
                                              drop_last=False)):
@@ -115,7 +122,17 @@ def main():
         mask = jnp.asarray(batch["mask"])
         if crop:
             chunk, label, mask = center_crop(chunk, label, mask, tuple(crop))
-        flows = eval_step(state, chunk)
+        step_out = eval_step(state, chunk)
+        if args.store_spike_rates:
+            flows, rates = step_out
+            if i == 0:
+                flat = jax.tree_util.tree_flatten_with_path(rates)[0]
+                spike_rates = {
+                    "/".join(str(getattr(p, "key", p)) for p in path):
+                        float(np.asarray(v).mean())
+                    for path, v in flat}
+        else:
+            flows = step_out
         pred = flows[-1]
         m = mask
         if mask_events:
@@ -135,8 +152,12 @@ def main():
 
     results = {k: float(np.mean(v)) for k, v in acc.items() if v}
     results["num_batches"] = n
+    if spike_rates is not None:
+        results["mean_firing_rate"] = float(np.mean(list(spike_rates.values())))
     logger = RunLogger(args.run_dir, config)
     logger.log_artifact_dict("results.json", results)
+    if spike_rates is not None:
+        logger.log_artifact_dict("spike_rates.json", spike_rates)
     logger.close()
     print(json.dumps(results, indent=2))
 

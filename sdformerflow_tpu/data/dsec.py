@@ -72,6 +72,57 @@ class DSECDatasetLite:
         return chunk.astype(np.float32), mask, label.astype(np.float32)
 
 
+class DSECEventListDataset:
+    """DSEC over raw per-window event lists (the reference's
+    ``preprocessed: False`` / 'list' layout:
+    ``event_tensors/01lists/left/<file>.npy`` holding dicts of p/t/x/y).
+
+    Items are (events dict of padded [N] arrays + valid mask, mask, label);
+    voxelization happens ON DEVICE inside the jitted train step
+    (training.train_step.voxelize_batch). Event buffers are padded to
+    power-of-two buckets to bound recompilation.
+    """
+
+    def __init__(self, config: dict, file_list: str, max_events: int = 1 << 21):
+        data_cfg = config["data"]
+        self.path = data_cfg["path"]
+        self.flow_path = os.path.join(self.path, "gt_tensors")
+        self.mask_path = os.path.join(self.path, "mask_tensors")
+        self.events_path = os.path.join(self.path, "event_tensors",
+                                        "01lists", "left")
+        self.max_events = max_events
+        suffix = "_split_seq.csv"
+        seq_file = os.path.join(self.path, "sequence_lists",
+                                file_list + suffix)
+        with open(seq_file) as f:
+            self.files = [row for row in csv.reader(f) if row]
+
+    def __len__(self):
+        return len(self.files)
+
+    @staticmethod
+    def _bucket(n):
+        return 1 << max(int(n) - 1, 1).bit_length()
+
+    def __getitem__(self, idx):
+        from ..ops.voxel import pad_events
+        target = self.files[idx][0]
+        mask = np.load(os.path.join(self.mask_path, target))
+        label = np.load(os.path.join(self.flow_path, target))
+        ev = np.load(os.path.join(self.events_path, target),
+                     allow_pickle=True)
+        d = ev[0] if isinstance(ev, np.ndarray) and ev.dtype == object else ev
+        n = min(len(d["x"]), self.max_events)
+        x, y, t, p, valid = pad_events(
+            np.asarray(d["x"][:n], np.float32),
+            np.asarray(d["y"][:n], np.float32),
+            np.asarray(d["t"][:n], np.float32),
+            np.asarray(d["p"][:n], np.float32),
+            min(self._bucket(n), self.max_events))
+        events = {"x": x, "y": y, "t": t, "p": p, "valid": valid}
+        return events, mask, label.astype(np.float32)
+
+
 class SyntheticEventFlowDataset:
     """Deterministic synthetic (chunk, mask, label) samples with voxel-like
     sparsity statistics — used by tests and benchmarks when no DSEC data is

@@ -131,16 +131,20 @@ def plif_init_w(init_tau: float = 2.0) -> float:
 
 
 def psn_neuron(x_seq, weight, bias, *, surrogate_fn: SurrogateFn = atan_spike):
-    """Parallel Spiking Neuron: h = W @ x_flat + b over the time axis.
+    """Parallel Spiking Neuron: h = W @ x + b contracted over the time axis.
 
     ``weight``: [T, T]; ``bias``: [T] or [T, 1]. No recurrence — the whole
     neuron is a single matmul over time, ideal for the MXU.
+
+    Implemented as an einsum on the native [T, ...] shape: flattening to
+    [T, N] first looks equivalent but forces a tiled->linear layout change
+    that XLA:TPU lowers to a sequential while-loop of dynamic-update-slices
+    (measured at >50% of a full SDformerFlow forward).
     """
     T = x_seq.shape[0]
-    x_flat = x_seq.reshape(T, -1)
-    b = bias.reshape(T, 1)
-    h = weight @ x_flat + b
-    return surrogate_fn(h).reshape(x_seq.shape)
+    b = bias.reshape((T,) + (1,) * (x_seq.ndim - 1))
+    h = jnp.tensordot(weight, x_seq, axes=((1,), (0,))) + b
+    return surrogate_fn(h)
 
 
 class GLIFParams(NamedTuple):

@@ -49,3 +49,20 @@ def replicate(tree, mesh: Mesh):
     """Device-put a pytree fully replicated."""
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
+    """Double-buffered host->device transfer: keep ``size`` batches in
+    flight so the H2D copy of batch k+1 overlaps the compute of batch k
+    (device_put is asynchronous)."""
+    import collections
+    import jax.numpy as jnp
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(shard_batch(
+            jax.tree_util.tree_map(jnp.asarray, batch), mesh))
+        if len(queue) == size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -29,6 +29,7 @@ from ..losses import flow_loss_supervised
 from ..models import get_model
 from ..ops.normalization import encode_input
 from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel.mesh import prefetch_to_device
 from ..utils.logging import RunLogger, count_parameters
 from .checkpoints import restore_checkpoint, save_checkpoint
 from .config import build_configs
@@ -120,10 +121,9 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
     for epoch in range(start_epoch, n_epochs):
         epoch_loss, n_samples = 0.0, 0
         t0 = time.time()
-        for batch in batch_iterator(train_dataset, batch_size, shuffle=True,
-                                    seed=loader.get("seed", 0) + epoch):
-            batch = shard_batch(
-                {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+        batches = batch_iterator(train_dataset, batch_size, shuffle=True,
+                                 seed=loader.get("seed", 0) + epoch)
+        for batch in prefetch_to_device(batches, mesh):
             key = jax.random.fold_in(rng, global_step)
             ev, fl, mk = aug_jit(key, batch["chunk"], batch["label"],
                                  batch["mask"])

@@ -56,12 +56,35 @@ def create_train_state(model, tx, sample_chunk, rng, train: bool = True):
         tx=tx)
 
 
+def voxelize_batch(events, *, num_bins, height, width):
+    """On-device event->voxel rasterization for a batch of padded event
+    buffers: dict(x, y, t, p, valid) of [B, N] arrays -> signed voxel chunks
+    [B, num_bins, H, W]. Runs inside the jitted step — the north-star path
+    that replaces the reference's offline CPU preprocessing."""
+    from ..ops.voxel import voxel_grid_signed
+
+    def one(x, y, t, p, valid):
+        # t_range from the valid span (padding slots carry the last time)
+        t0 = jnp.min(jnp.where(valid, t, jnp.inf))
+        t1 = jnp.max(jnp.where(valid, t, -jnp.inf))
+        return voxel_grid_signed(x, y, t, p, num_bins=num_bins, height=height,
+                                 width=width, valid=valid, t_range=(t0, t1))
+
+    return jax.vmap(one)(events["x"], events["y"], events["t"],
+                         events["p"], events["valid"])
+
+
 def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
                     spike_th=None, flow_scaling=1.0, gamma=None,
-                    mask_events=False, donate=True):
+                    mask_events=False, donate=True, voxelize=None):
     """Build the jitted train step. ``batch`` is a dict with
     chunk [B, bins, H, W] (signed voxels) or [B, bins, 2, H, W],
-    label [B, 2, H, W], mask [B, 1, H, W]."""
+    label [B, 2, H, W], mask [B, 1, H, W].
+
+    With ``voxelize=dict(num_bins, height, width)`` the batch instead carries
+    raw padded event buffers under ``events`` (x/y/t/p/valid, [B, N]) and the
+    voxel grids are rasterized on-device inside this jitted step.
+    """
 
     def loss_fn(params, state, chunk, label, mask, rng):
         out, mutated = state.apply_fn(
@@ -72,7 +95,10 @@ def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
         return loss, mutated["batch_stats"]
 
     def train_step(state: TrainState, batch, rng):
-        chunk = batch["chunk"]
+        if voxelize is not None and "events" in batch:
+            chunk = voxelize_batch(batch["events"], **voxelize)
+        else:
+            chunk = batch["chunk"]
         if chunk.ndim == 4 or encoding == "voxel":
             x = encode_input(chunk, encoding=encoding, polarity=polarity,
                              norm_input=norm_input, spike_th=spike_th)
@@ -98,24 +124,44 @@ def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
 
 
 def make_eval_step(*, encoding="voxel", polarity=True, norm_input="minmax",
-                   spike_th=None, use_batch_stats=False):
+                   spike_th=None, use_batch_stats=False, compute_dtype=None,
+                   collect_spike_rates=False):
     """Build the jitted eval step returning the finest flow prediction.
 
     ``use_batch_stats=True`` reproduces the reference quirk of validating in
     train mode when batch_size == 1 (batch statistics instead of running
     averages; running stats are NOT updated here).
+
+    ``compute_dtype=jnp.bfloat16`` runs the bf16 inference path (params and
+    activations cast; flow returned in f32).
+
+    ``collect_spike_rates=True`` returns (flows, spike_rates) where
+    spike_rates is the per-neuron-site firing-rate dict sown by
+    SpikingNeuron (reference firing-rate monitors).
     """
 
     def eval_step(state: TrainState, chunk):
         x = encode_input(chunk, encoding=encoding, polarity=polarity,
                          norm_input=norm_input, spike_th=spike_th)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        if use_batch_stats:
-            out, _ = state.apply_fn(variables, x, True,
-                                    mutable=["batch_stats"],
-                                    rngs={"droppath": jax.random.PRNGKey(0)})
+        params, bs = state.params, state.batch_stats
+        if compute_dtype is not None:
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(compute_dtype), t)
+            params, bs, x = cast(params), cast(bs), x.astype(compute_dtype)
+        variables = {"params": params, "batch_stats": bs}
+        mutable = ["batch_stats"] if use_batch_stats else []
+        if collect_spike_rates:
+            mutable = mutable + ["intermediates"]
+        if mutable:
+            out, mutated = state.apply_fn(
+                variables, x, use_batch_stats, mutable=mutable,
+                rngs={"droppath": jax.random.PRNGKey(0)})
         else:
             out = state.apply_fn(variables, x, False)
-        return out["flow"]
+            mutated = {}
+        flows = [f.astype(jnp.float32) for f in out["flow"]]
+        if collect_spike_rates:
+            return flows, mutated.get("intermediates", {})
+        return flows
 
     return jax.jit(eval_step)
