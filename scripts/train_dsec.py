@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--max_steps", type=int, default=None)
     ap.add_argument("--synthetic", action="store_true",
                     help="train on synthetic data (smoke runs without DSEC)")
+    ap.add_argument("--structured", action="store_true",
+                    help="learnable synthetic task (moving bar)")
     args = ap.parse_args()
 
     config = load_config(args.config)
@@ -42,10 +44,11 @@ def main():
         res = config["loader"]["resolution"]
         train_ds = SyntheticEventFlowDataset(
             num_samples=32, num_bins=config["model"]["num_bins"],
-            height=res[0], width=res[1])
+            height=res[0], width=res[1], structured=args.structured)
         valid_ds = SyntheticEventFlowDataset(
             num_samples=8, num_bins=config["model"]["num_bins"],
-            height=res[0], width=res[1], seed=999)
+            height=res[0], width=res[1], seed=999,
+            structured=args.structured)
     else:
         from sdformerflow_tpu.data.dsec import DSECDatasetLite
         train_ds = DSECDatasetLite(config, "train")

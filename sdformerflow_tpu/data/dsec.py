@@ -129,13 +129,14 @@ class SyntheticEventFlowDataset:
     mounted."""
 
     def __init__(self, num_samples=64, num_bins=10, height=288, width=384,
-                 seed=0, per_polarity=False):
+                 seed=0, per_polarity=False, structured=False):
         self.n = num_samples
         self.num_bins = num_bins
         self.height = height
         self.width = width
         self.seed = seed
         self.per_polarity = per_polarity
+        self.structured = structured
 
     def __len__(self):
         return self.n
@@ -145,6 +146,27 @@ class SyntheticEventFlowDataset:
         shape = ((self.num_bins, 2, self.height, self.width)
                  if self.per_polarity
                  else (self.num_bins, self.height, self.width))
+        if self.structured:
+            # learnable task: a moving bar whose per-bin displacement IS the
+            # (spatially constant) GT flow — the label is a deterministic
+            # function of the event pattern
+            v = rng.uniform(-4, 4, size=2).astype(np.float32)
+            chunk = np.zeros(shape, np.float32)
+            ys, xs = np.mgrid[0:self.height, 0:self.width]
+            cx = rng.uniform(0.25, 0.75) * self.width
+            cy = rng.uniform(0.25, 0.75) * self.height
+            for b in range(self.num_bins):
+                frac = b / max(self.num_bins - 1, 1)
+                bx, by = cx + frac * v[0], cy + frac * v[1]
+                bar = (np.abs(xs - bx) < 2) | (np.abs(ys - by) < 2)
+                if self.per_polarity:
+                    chunk[b, b % 2][bar] = 1.0
+                else:
+                    chunk[b][bar] = 1.0 if b % 2 == 0 else -1.0
+            label = np.broadcast_to(
+                v[:, None, None], (2, self.height, self.width)).copy()
+            mask = np.ones((self.height, self.width), bool)
+            return chunk, mask, label
         chunk = rng.normal(0, 1, shape).astype(np.float32)
         chunk *= (rng.uniform(size=shape) < 0.1)  # ~10% occupancy
         label = rng.normal(0, 3, (2, self.height, self.width)).astype(

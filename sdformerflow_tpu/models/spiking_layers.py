@@ -51,8 +51,12 @@ class SpikingNeuron(nn.Module):
     @nn.compact
     def __call__(self, x_seq):
         out = self._fire(x_seq)
-        self.sow("intermediates", "spike_rate",
-                 jnp.mean((out != 0).astype(jnp.float32)))
+        # compute the telemetry only when the collection is actually being
+        # collected — the (out != 0) bool tensor otherwise costs real layout
+        # copies on TPU even though its value is unused
+        if self.is_mutable_collection("intermediates"):
+            self.sow("intermediates", "spike_rate",
+                     jnp.mean((out != 0).astype(jnp.float32)))
         return out
 
     def _fire(self, x_seq):

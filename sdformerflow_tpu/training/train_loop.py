@@ -102,7 +102,8 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
         norm_input=norm_input, spike_th=spike_th,
         flow_scaling=config["metrics"].get("flow_scaling", 1.0),
         gamma=loss_cfg.get("gamma"),
-        mask_events=config["metrics"].get("mask_events", False))
+        mask_events=config["metrics"].get("mask_events", False),
+        compute_dtype=(jnp.bfloat16 if opt_cfg.get("use_amp") else None))
     eval_step = make_eval_step(
         encoding=encoding, polarity=polarity and is_snn,
         norm_input=norm_input, spike_th=spike_th,

@@ -76,7 +76,8 @@ def voxelize_batch(events, *, num_bins, height, width):
 
 def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
                     spike_th=None, flow_scaling=1.0, gamma=None,
-                    mask_events=False, donate=True, voxelize=None):
+                    mask_events=False, donate=True, voxelize=None,
+                    compute_dtype=None):
     """Build the jitted train step. ``batch`` is a dict with
     chunk [B, bins, H, W] (signed voxels) or [B, bins, 2, H, W],
     label [B, 2, H, W], mask [B, 1, H, W].
@@ -84,15 +85,34 @@ def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
     With ``voxelize=dict(num_bins, height, width)`` the batch instead carries
     raw padded event buffers under ``events`` (x/y/t/p/valid, [B, N]) and the
     voxel grids are rasterized on-device inside this jitted step.
+
+    ``compute_dtype=jnp.bfloat16`` runs the forward/backward in bf16 with
+    f32 master params and f32 loss/gradient accumulation — the TPU
+    equivalent of the reference's AMP autocast (no GradScaler needed,
+    bf16 has f32's exponent range).
     """
 
     def loss_fn(params, state, chunk, label, mask, rng):
+        if compute_dtype is not None:
+            cast_params = jax.tree_util.tree_map(
+                lambda a: a.astype(compute_dtype), params)
+            bs = jax.tree_util.tree_map(
+                lambda a: a.astype(compute_dtype), state.batch_stats)
+            chunk = chunk.astype(compute_dtype)
+        else:
+            cast_params, bs = params, state.batch_stats
         out, mutated = state.apply_fn(
-            {"params": params, "batch_stats": state.batch_stats},
+            {"params": cast_params, "batch_stats": bs},
             chunk, True, mutable=["batch_stats"], rngs={"droppath": rng})
-        loss = flow_loss_supervised(out["flow"], label, mask,
+        flows = [f.astype(jnp.float32) for f in out["flow"]]
+        loss = flow_loss_supervised(flows, label, mask,
                                     flow_scaling=flow_scaling, gamma=gamma)
-        return loss, mutated["batch_stats"]
+        new_bs = mutated["batch_stats"]
+        if compute_dtype is not None:
+            new_bs = jax.tree_util.tree_map(
+                lambda a, old: a.astype(old.dtype), new_bs,
+                state.batch_stats)
+        return loss, new_bs
 
     def train_step(state: TrainState, batch, rng):
         if voxelize is not None and "events" in batch:
