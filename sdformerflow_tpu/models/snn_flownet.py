@@ -68,7 +68,8 @@ class SpikingSwinTransformer3D(nn.Module):
     ms: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 collect_attention: bool = False):
         sw = self.swin
         embed = PATCH_EMBEDS[sw.patch_embed_type](
             img_size=tuple(sw.input_size), patch_size=tuple(sw.patch_size),
@@ -79,7 +80,7 @@ class SpikingSwinTransformer3D(nn.Module):
 
         depths = sw.depths
         dpr = np.linspace(0, sw.drop_path_rate, sum(depths)).tolist()
-        outs = []
+        outs, attns = [], []
         for i, depth in enumerate(depths):
             stage = SpikingSwinStage(
                 dim=int(self.embed_dim * 2 ** i),
@@ -97,7 +98,11 @@ class SpikingSwinTransformer3D(nn.Module):
                 downsample=i < len(depths) - 1,
                 ms=self.ms,
                 name=f"stage{i}")
-            x, pre_merge = stage(x, train)
+            if collect_attention:
+                x, pre_merge, attn = stage(x, train, collect_attention=True)
+                attns.append(attn)
+            else:
+                x, pre_merge = stage(x, train)
             if i in sw.out_indices:
                 out = pre_merge
                 if self.spikformer_norm in ("LN", "GN"):
@@ -105,6 +110,8 @@ class SpikingSwinTransformer3D(nn.Module):
                                       self.spikformer_norm, self.cfg.v_th,
                                       name=f"norm{i}")(out, train)
                 outs.append(out.transpose(1, 0, 2, 3, 4))  # [T, B, H, W, C]
+        if collect_attention:
+            return tuple(outs), attns
         return tuple(outs)
 
 
@@ -127,13 +134,17 @@ class SpikingformerMultiResUNet(nn.Module):
     ms: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, log: bool = False):
         skip_ftn = skip_concat if self.skip_type == "concat" else skip_sum
         backbone = SpikingSwinTransformer3D(
             swin=self.swin, cfg=self.cfg, in_chans=self.num_bins,
             embed_dim=self.base_num_channels,
             spikformer_norm=self.cfg.spike_norm, ms=self.ms, name="encoders")
-        blocks = backbone(x, train)
+        attns = None
+        if log:
+            blocks, attns = backbone(x, train, collect_attention=True)
+        else:
+            blocks = backbone(x, train)
         assert len(blocks) == self.num_encoders
 
         x = blocks[-1]
@@ -166,6 +177,8 @@ class SpikingformerMultiResUNet(nn.Module):
             pred = pred_cls(self.num_output_channels, self.cfg, 1,
                             name=f"pred{i}")(x, train)
             predictions.append(pred)
+        if log:
+            return predictions, attns
         return predictions
 
 
@@ -185,20 +198,25 @@ class SpikingformerFlowNet(nn.Module):
     ms: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, log: bool = False):
         B, bins, P, H, Wd = x.shape
-        preds = SpikingformerMultiResUNet(
+        unet = SpikingformerMultiResUNet(
             swin=self.swin, cfg=self.cfg, num_bins=self.num_bins,
             base_num_channels=self.base_num_channels,
             num_encoders=self.num_encoders, kernel_size=self.kernel_size,
             use_upsample_conv=self.use_upsample_conv, ms=self.ms,
-            name="sttmultires_unet")(x, train)
+            name="sttmultires_unet")
+        attns = None
+        if log:
+            preds, attns = unet(x, train, log=True)
+        else:
+            preds = unet(x, train)
         flow_list = []
         for p in preds:                      # [T, B, h, w, 2]
             flow = p.sum(axis=0)             # sum spikes over time FIRST
             flow = resize_nearest(flow, (H, Wd))
             flow_list.append(flow.transpose(0, 3, 1, 2))  # [B, 2, H, W]
-        return {"flow": flow_list, "attn": None}
+        return {"flow": flow_list, "attn": attns}
 
 
 class SpikingMultiResUNetFlow(nn.Module):

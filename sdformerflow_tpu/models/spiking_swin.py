@@ -375,7 +375,8 @@ class SpikingSwinStage(nn.Module):
     ms: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 collect_attention: bool = False):
         B, D, H, Wd, C = x.shape
         shift = tuple(w // 2 for w in self.window_size)
         window_size, shift_size = W.get_window_size((D, H, Wd),
@@ -384,20 +385,29 @@ class SpikingSwinStage(nn.Module):
         Hp = -(-H // window_size[1]) * window_size[1]
         Wp = -(-Wd // window_size[2]) * window_size[2]
         mask = W.compute_mask(Dp, Hp, Wp, window_size, shift_size)
-        for i in range(self.depth):
-            dpr = (self.drop_path_rates[i]
-                   if i < len(self.drop_path_rates) else 0.0)
-            x = SpikingSwinBlock3D(
-                self.dim, self.num_heads, self.cfg,
-                window_size=self.window_size,
-                shift_size=(0, 0, 0) if i % 2 == 0 else shift,
-                mlp_ratio=self.mlp_ratio, version=self.version,
-                qk_scale=self.qk_scale,
-                pretrained_window_size=self.pretrained_window_size,
-                norm=self.norm, drop_path_rate=dpr, ms=self.ms,
-                name=f"block{i}")(x, mask, train)
+        blocks = [SpikingSwinBlock3D(
+            self.dim, self.num_heads, self.cfg,
+            window_size=self.window_size,
+            shift_size=(0, 0, 0) if i % 2 == 0 else shift,
+            mlp_ratio=self.mlp_ratio, version=self.version,
+            qk_scale=self.qk_scale,
+            pretrained_window_size=self.pretrained_window_size,
+            norm=self.norm,
+            drop_path_rate=(self.drop_path_rates[i]
+                            if i < len(self.drop_path_rates) else 0.0),
+            ms=self.ms, name=f"block{i}") for i in range(self.depth)]
+        last_input = x
+        for blk in blocks:
+            last_input = x
+            x = blk(x, mask, train)
+        attn = None
+        if collect_attention:
+            # re-run the final block's attention on its input (params shared)
+            attn = blocks[-1](last_input, mask, train, return_attention=True)
         pre_merge = x
         if self.downsample:
             x = SpikingPatchMerging(self.dim, self.cfg, norm=self.norm,
                                     ms=self.ms, name="downsample")(x, train)
+        if collect_attention:
+            return x, pre_merge, attn
         return x, pre_merge
