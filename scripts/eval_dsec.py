@@ -52,6 +52,8 @@ def main():
                     help="bf16 inference path")
     ap.add_argument("--store_spike_rates", action="store_true",
                     help="record per-neuron-site firing rates (SNN only)")
+    ap.add_argument("--log_attn", action="store_true",
+                    help="store per-stage attention maps of the first batch")
     args = ap.parse_args()
 
     config = load_config(args.train_config)
@@ -148,6 +150,17 @@ def main():
             sub = np.asarray(pred[0]) if args.store_submission else None
             vis.update(flow=np.asarray(pred[0]),
                        gt_flow=np.asarray(label[0]), submission_flow=sub)
+        if args.log_attn and i == 0:
+            x = encode_input(chunk, encoding=encoding, polarity=polarity,
+                             norm_input=norm_input, spike_th=spike_th)
+            out = state.apply_fn({"params": state.params,
+                                  "batch_stats": state.batch_stats},
+                                 x, False, log=True)
+            import os
+            os.makedirs(args.run_dir, exist_ok=True)
+            np.savez(f"{args.run_dir}/attention_maps.npz",
+                     **{f"stage{k}": np.asarray(a)
+                        for k, a in enumerate(out["attn"] or [])})
         n += 1
 
     results = {k: float(np.mean(v)) for k, v in acc.items() if v}

@@ -174,12 +174,117 @@ def build_rules(num_stages=4, max_depth=8, num_res=2, num_encoders=4,
     return R
 
 
+def _layernorm_rule(t, f):
+    return [(f"{t}.weight", "params", f"{f}/scale", "id"),
+            (f"{t}.bias", "params", f"{f}/bias", "id")]
+
+
+def _ann_resblock_rule(t, f):
+    R = []
+    for c, fc in (("conv1", "conv1"), ("conv2", "conv2")):
+        R += [(f"{t}.{c}.weight", "params", f"{f}/{c}/kernel", "conv"),
+              (f"{t}.{c}.bias", "params", f"{f}/{c}/bias", "id")]
+    for n in ("bn1", "bn2"):
+        # ANN Norm2d wraps flax BatchNorm (auto-named BatchNorm_0)
+        R += _norm_rule(f"{t}.{n}", f"{f}/{n}")
+    return R
+
+
+def build_ann_rules(num_stages=3, max_depth=8, num_encoders=3,
+                    num_blocks=2) -> list:
+    """Key map for the ANN STTFlowNet family
+    (/root/reference/models/STSwinNet/STSwinNet.py module tree)."""
+    R = []
+    root_t = "sttmultires_unet"
+    root_f = "sttmultires_unet"
+    sw_t = f"{root_t}.encoders.swin3d"
+    sw_f = f"{root_f}/encoders/swin3d"
+
+    # PatchEmbedLocal: head conv + 4 resblocks + proj
+    pe_t, pe_f = f"{sw_t}.patch_embed", f"{sw_f}/patch_embed"
+    R += [(f"{pe_t}.head.weight", "params", f"{pe_f}/head/kernel", "conv"),
+          (f"{pe_t}.head.bias", "params", f"{pe_f}/head/bias", "id"),
+          (f"{pe_t}.proj.weight", "params", f"{pe_f}/proj/kernel", "conv"),
+          (f"{pe_t}.proj.bias", "params", f"{pe_f}/proj/bias", "id")]
+    for r in range(1, 5):
+        R += _ann_resblock_rule(
+            f"{pe_t}.residual_encoding.resblock{r}",
+            f"{pe_f}/residual_encoding/resblock{r}")
+
+    for i in range(num_stages):
+        st_t, st_f = f"{sw_t}.layers.{i}", f"{sw_f}/stage{i}"
+        for j in range(max_depth):
+            b_t, b_f = f"{st_t}.swin_blocks.{j}", f"{st_f}/block{j}"
+            R += _layernorm_rule(f"{b_t}.norm1", f"{b_f}/norm1")
+            R += _layernorm_rule(f"{b_t}.norm2", f"{b_f}/norm2")
+            a_t, a_f = f"{b_t}.attn", f"{b_f}/attn"
+            R += [(f"{a_t}.qkv.weight", "params", f"{a_f}/qkv/kernel",
+                   "linear"),
+                  (f"{a_t}.qkv.bias", "params", f"{a_f}/qkv/bias", "id"),
+                  (f"{a_t}.proj.weight", "params", f"{a_f}/proj/kernel",
+                   "linear"),
+                  (f"{a_t}.proj.bias", "params", f"{a_f}/proj/bias", "id"),
+                  (f"{a_t}.relative_position_bias_table", "params",
+                   f"{a_f}/relative_position_bias_table", "id"),
+                  (f"{a_t}.logit_scale", "params", f"{a_f}/logit_scale",
+                   "id"),
+                  (f"{a_t}.cpb_mlp.0.weight", "params",
+                   f"{a_f}/cpb_fc1/kernel", "linear"),
+                  (f"{a_t}.cpb_mlp.0.bias", "params", f"{a_f}/cpb_fc1/bias",
+                   "id"),
+                  (f"{a_t}.cpb_mlp.2.weight", "params",
+                   f"{a_f}/cpb_fc2/kernel", "linear")]
+            m_t, m_f = f"{b_t}.mlp", f"{b_f}/mlp"
+            for fc in ("fc1", "fc2"):
+                R += [(f"{m_t}.{fc}.weight", "params", f"{m_f}/{fc}/kernel",
+                       "linear"),
+                      (f"{m_t}.{fc}.bias", "params", f"{m_f}/{fc}/bias",
+                       "id")]
+        R += _layernorm_rule(f"{st_t}.downsample.norm",
+                             f"{st_f}/downsample/norm")
+        R += [(f"{st_t}.downsample.reduction.weight", "params",
+               f"{st_f}/downsample/reduction/kernel", "linear")]
+        R += _layernorm_rule(f"{sw_t}.norm{i}", f"{sw_f}/norm{i}")
+
+    # STT per-stage per-timestep projections (1x1 convs -> Dense)
+    for i in range(num_stages):
+        for k in range(num_blocks):
+            R += [(f"{root_t}.encoders.projections.{i}.{k}.weight", "params",
+                   f"{root_f}/encoders/proj{i}_{k}/kernel", "conv1x1"),
+                  (f"{root_t}.encoders.projections.{i}.{k}.bias", "params",
+                   f"{root_f}/encoders/proj{i}_{k}/bias", "id")]
+
+    # bottleneck resblocks / decoders / preds (ANN layer wrappers)
+    for i in range(2):
+        R += _ann_resblock_rule(f"{root_t}.resblocks.{i}",
+                                f"{root_f}/resblock{i}")
+    for i in range(num_encoders):
+        R += [(f"{root_t}.decoders.{i}.conv2d.weight", "params",
+               f"{root_f}/decoder{i}/conv2d/kernel", "conv"),
+              (f"{root_t}.decoders.{i}.conv2d.bias", "params",
+               f"{root_f}/decoder{i}/conv2d/bias", "id"),
+              (f"{root_t}.decoders.{i}.transposed_conv2d.weight", "params",
+               f"{root_f}/decoder{i}/transposed_conv2d/kernel", "deconv"),
+              (f"{root_t}.decoders.{i}.transposed_conv2d.bias", "params",
+               f"{root_f}/decoder{i}/transposed_conv2d/bias", "id"),
+              (f"{root_t}.preds.{i}.conv2d.weight", "params",
+               f"{root_f}/pred{i}/conv2d/kernel", "conv"),
+              (f"{root_t}.preds.{i}.conv2d.bias", "params",
+               f"{root_f}/pred{i}/conv2d/bias", "id")]
+    return R
+
+
+_TRANSFORMS["conv1x1"] = lambda a: a[..., 0, 0].T  # torch [O, I, 1, 1] -> [I, O]
+
+
 def convert_state_dict(state_dict: Dict[str, np.ndarray],
                        num_stages=4, max_depth=8,
-                       num_encoders=4) -> Tuple[dict, dict, list]:
-    """torch state_dict -> (params, batch_stats, unmatched_keys)."""
+                       num_encoders=4, family="snn") -> Tuple[dict, dict, list]:
+    """torch state_dict -> (params, batch_stats, unmatched_keys).
+    ``family``: "snn" (SpikingformerFlowNet) or "ann" (STTFlowNet)."""
+    builder = build_rules if family == "snn" else build_ann_rules
     rules = {t: (coll, path, tr)
-             for t, coll, path, tr in build_rules(
+             for t, coll, path, tr in builder(
                  num_stages=num_stages, max_depth=max_depth,
                  num_encoders=num_encoders)}
     params: dict = {}
@@ -203,12 +308,13 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray],
 
 
 def flax_to_torch_key(coll: str, path: str, num_stages=4, max_depth=8,
-                      num_encoders=4):
+                      num_encoders=4, family="snn"):
     """Inverse lookup (used by tests to synthesize reference-shaped
     checkpoints)."""
-    for t, c, f, tr in build_rules(num_stages=num_stages,
-                                   max_depth=max_depth,
-                                   num_encoders=num_encoders):
+    builder = build_rules if family == "snn" else build_ann_rules
+    for t, c, f, tr in builder(num_stages=num_stages,
+                               max_depth=max_depth,
+                               num_encoders=num_encoders):
         if c == coll and f == path:
             return t, tr
     return None, None

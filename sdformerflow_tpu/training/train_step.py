@@ -150,7 +150,10 @@ def make_eval_step(*, encoding="voxel", polarity=True, norm_input="minmax",
 
     ``use_batch_stats=True`` reproduces the reference quirk of validating in
     train mode when batch_size == 1 (batch statistics instead of running
-    averages; running stats are NOT updated here).
+    averages). Deliberate deviation: torch train-mode forwards also UPDATE
+    the BN running stats during validation (train_..._SNN.py:382-385 +
+    torch BN semantics); here the mutated stats are discarded so validation
+    never contaminates training state.
 
     ``compute_dtype=jnp.bfloat16`` runs the bf16 inference path (params and
     activations cast; flow returned in f32).
