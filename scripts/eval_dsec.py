@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--train_config", required=True)
     ap.add_argument("--eval_config", default=None)
     ap.add_argument("--ckpt", default=None, help="checkpoint dir")
+    ap.add_argument("--torch_ckpt", default=None,
+                    help="reference torch checkpoint (.pt/.pth) converted "
+                         "on the fly via training.torch_interop")
     ap.add_argument("--run_dir", default="runs/eval_dsec")
     ap.add_argument("--path", default=None, help="override data.path")
     ap.add_argument("--synthetic", action="store_true")
@@ -95,6 +98,20 @@ def main():
     if args.ckpt:
         state, epoch = restore_checkpoint(args.ckpt, state)
         print(f"restored checkpoint epoch {epoch}")
+    elif args.torch_ckpt:
+        import dataclasses
+        from sdformerflow_tpu.training import torch_interop as TI
+        sd = TI.load_torch_checkpoint(args.torch_ckpt)
+        depths = swin_cfg.depths
+        params, bs, unmatched = TI.convert_state_dict(
+            sd, num_stages=len(depths), max_depth=max(depths),
+            num_encoders=len(depths),
+            family="ann" if not is_snn else "snn")
+        if unmatched:
+            print(f"warning: {len(unmatched)} torch keys unmatched, e.g. "
+                  f"{unmatched[:5]}")
+        state = dataclasses.replace(state, params=params, batch_stats=bs)
+        print(f"converted torch checkpoint {args.torch_ckpt}")
 
     eval_step = make_eval_step(
         encoding=encoding, polarity=polarity, norm_input=norm_input,
