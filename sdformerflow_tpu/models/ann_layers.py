@@ -41,9 +41,9 @@ class Norm2d(nn.Module):
         if self.norm is None:
             return x
         if self.norm == "BN":
-            return nn.BatchNorm(use_running_average=not train,
-                                momentum=1.0 - self.momentum, epsilon=1e-5,
-                                axis=-1)(x)
+            from .spiking_layers import TorchBatchNorm
+            return TorchBatchNorm(momentum=self.momentum,
+                                  name="BatchNorm_0")(x, not train)
         if self.norm == "IN":
             # per-sample instance norm over (H, W)
             return nn.GroupNorm(num_groups=x.shape[-1],

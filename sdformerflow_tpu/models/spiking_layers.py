@@ -24,7 +24,7 @@ Parity targets (file:line in /root/reference):
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -105,6 +105,48 @@ class SpikingNeuron(nn.Module):
         raise ValueError(f"unknown neuron_type {cfg.neuron_type!r}")
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch running-statistics semantics.
+
+    flax's nn.BatchNorm stores the BIASED batch variance in its running
+    average; torch stores the UNBIASED (n/(n-1)) one, which shifts eval-mode
+    outputs. This module matches torch/SpikingJelly exactly: normalize with
+    biased batch variance in train mode, update running stats as
+    ``r <- (1 - momentum) * r + momentum * stat`` with the unbiased variance.
+    Param/stat names (scale/bias, mean/var) match nn.BatchNorm for
+    checkpoint-map compatibility.
+    """
+
+    momentum: float = 0.1  # torch convention
+    epsilon: float = 1e-5
+    scale_init: Any = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = False):
+        features = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros, None, (features,))
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones, None, (features,))
+        scale = self.param("scale", self.scale_init, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = x.mean(axis=axes)
+            var = x.var(axis=axes)  # biased, used for normalization
+            if not self.is_initializing():
+                n = x.size / features
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
 class SpikingNorm(nn.Module):
     """Norm zoo over [T, B, H, W, C] (channels-last).
 
@@ -125,8 +167,7 @@ class SpikingNorm(nn.Module):
         if norm is None:
             return x
         if norm == "BN":
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, axis=-1)(x)
+            return TorchBatchNorm(name="BatchNorm_0")(x, not train)
         if norm == "BN_notrack":
             # batch statistics always, no running stats (track_running_stats=False)
             mean = x.mean(axis=(0, 1, 2, 3), keepdims=True)
@@ -135,15 +176,14 @@ class SpikingNorm(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
             return (x - mean) / jnp.sqrt(var + 1e-5) * scale + bias
         if norm == "TDBN":
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, axis=-1,
-                                scale_init=nn.initializers.constant(
-                                    self.alpha * self.v_th))(x)
+            return TorchBatchNorm(
+                name="BatchNorm_0",
+                scale_init=nn.initializers.constant(
+                    self.alpha * self.v_th))(x, not train)
         if norm == "BNTT":
-            bns = [nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-4, axis=-1, name=f"bn_t{i}")
+            bns = [TorchBatchNorm(epsilon=1e-4, name=f"bn_t{i}")
                    for i in range(self.num_steps)]
-            steps = [bns[i](x[i]) for i in range(self.num_steps)]
+            steps = [bns[i](x[i], not train) for i in range(self.num_steps)]
             return jnp.stack(steps, axis=0)
         if norm in ("GN", "IN", "LN"):
             groups = {"GN": max(self.channels // 16, 1),
@@ -441,8 +481,7 @@ class SpikingEmbeddingLayer(nn.Module):
                         use_bias=not norm_on, kernel_init=xavier_uniform,
                         name="conv")(h)
             if norm_on:
-                h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, axis=-1, name="norm")(h)
+                h = TorchBatchNorm(name="norm")(h, not train)
             return h
 
         if self.use_ms:
@@ -473,8 +512,7 @@ class SpikingPEDLayer(nn.Module):
                     use_bias=not norm_on, kernel_init=xavier_uniform,
                     name="conv")(x)
         if norm_on:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, axis=-1, name="norm")(x)
+            x = TorchBatchNorm(name="norm")(x, not train)
         return x + x_res
 
 
