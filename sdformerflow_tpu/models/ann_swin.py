@@ -18,6 +18,7 @@ import math
 from typing import Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -63,8 +64,10 @@ class WindowAttention3D(nn.Module):
             bias = table[rel_idx[:N, :N].reshape(-1)].reshape(N, N, nh)
             attn = attn + bias.transpose(2, 0, 1)[None]
         else:  # swinv2: cosine attention
-            qn = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
-            kn = k / jnp.linalg.norm(k, axis=-1, keepdims=True).clip(1e-12)
+            # smooth normalization (eps inside the rsqrt): F.normalize's
+            # clamped norm has a NaN gradient at exactly-zero vectors
+            qn = q * jax.lax.rsqrt((q * q).sum(-1, keepdims=True) + 1e-12)
+            kn = k * jax.lax.rsqrt((k * k).sum(-1, keepdims=True) + 1e-12)
             attn = qn @ kn.transpose(0, 1, 3, 2)
             logit_scale = self.param("logit_scale",
                                      nn.initializers.constant(math.log(10.0)),

@@ -98,3 +98,17 @@ def _stt(model_cfg, swin_cfg, spiking_cfg):
 @register_model("STTFlowNet_4en")
 def _stt4(model_cfg, swin_cfg, spiking_cfg):
     return _sttflownet(model_cfg, swin_cfg, spiking_cfg, num_en=4)
+
+
+@register_model("MultiResUNet")
+def _mru(model_cfg, swin_cfg, spiking_cfg):
+    from .ann_flownet import MultiResUNetFlow
+    return MultiResUNetFlow(
+        num_bins=model_cfg.get("num_bins", 10),
+        base_num_channels=model_cfg.get("base_num_channels", 32),
+        num_encoders=model_cfg.get("num_encoders", 4),
+        kernel_size=model_cfg.get("kernel_size", 5),
+        norm=model_cfg.get("norm"),
+        use_upsample_conv=model_cfg.get("use_upsample_conv", True),
+        final_activation=model_cfg.get("final_activation"),
+    )

@@ -35,6 +35,7 @@ CASES = {
     "SpikingMultiResUNet": (SNN_SWIN, True),
     "STTFlowNet": (ANN_SWIN, False),
     "STTFlowNet_4en": (ANN_SWIN, False),
+    "MultiResUNet": (ANN_SWIN, False),
 }
 
 
