@@ -51,7 +51,7 @@ def test_registry_model_forward(name):
     # by overriding when possible
     if hasattr(model, "num_encoders") and model.num_encoders > 2:
         model = dataclasses.replace(model, num_encoders=2)
-    if name.startswith("STTFlowNet"):
+    if not CASES[name][1]:  # ANN family takes raw [B, bins, H, W] voxels
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, H, W))
     else:
         chunk = jax.random.normal(jax.random.PRNGKey(0), (1, 4, H, W))
