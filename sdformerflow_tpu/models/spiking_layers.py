@@ -131,20 +131,27 @@ class TorchBatchNorm(nn.Module):
         scale = self.param("scale", self.scale_init, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
 
+        # statistics ALWAYS in f32: reducing millions of bf16 values in bf16
+        # corrupts the variance (it can even go negative -> NaN in rsqrt)
+        xf = x.astype(jnp.float32)
         if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
+            mean = ra_mean.value.astype(jnp.float32)
+            var = ra_var.value.astype(jnp.float32)
         else:
             axes = tuple(range(x.ndim - 1))
-            mean = x.mean(axis=axes)
-            var = x.var(axis=axes)  # biased, used for normalization
+            mean = xf.mean(axis=axes)
+            var = xf.var(axis=axes)  # biased, used for normalization
             if not self.is_initializing():
                 n = x.size / features
                 unbiased = var * (n / max(n - 1.0, 1.0))
                 m = self.momentum
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+                ra_mean.value = ((1 - m) * ra_mean.value.astype(jnp.float32)
+                                 + m * mean)
+                ra_var.value = ((1 - m) * ra_var.value.astype(jnp.float32)
+                                + m * unbiased)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
 
 
 class SpikingNorm(nn.Module):

@@ -94,25 +94,20 @@ def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
 
     def loss_fn(params, state, chunk, label, mask, rng):
         if compute_dtype is not None:
+            # cast params/activations only; batch_stats stay f32 (the norm
+            # layers compute statistics in f32 regardless of input dtype)
             cast_params = jax.tree_util.tree_map(
                 lambda a: a.astype(compute_dtype), params)
-            bs = jax.tree_util.tree_map(
-                lambda a: a.astype(compute_dtype), state.batch_stats)
             chunk = chunk.astype(compute_dtype)
         else:
-            cast_params, bs = params, state.batch_stats
+            cast_params = params
         out, mutated = state.apply_fn(
-            {"params": cast_params, "batch_stats": bs},
+            {"params": cast_params, "batch_stats": state.batch_stats},
             chunk, True, mutable=["batch_stats"], rngs={"droppath": rng})
         flows = [f.astype(jnp.float32) for f in out["flow"]]
         loss = flow_loss_supervised(flows, label, mask,
                                     flow_scaling=flow_scaling, gamma=gamma)
-        new_bs = mutated["batch_stats"]
-        if compute_dtype is not None:
-            new_bs = jax.tree_util.tree_map(
-                lambda a, old: a.astype(old.dtype), new_bs,
-                state.batch_stats)
-        return loss, new_bs
+        return loss, mutated["batch_stats"]
 
     def train_step(state: TrainState, batch, rng):
         if voxelize is not None and "events" in batch:
@@ -168,9 +163,10 @@ def make_eval_step(*, encoding="voxel", polarity=True, norm_input="minmax",
                          norm_input=norm_input, spike_th=spike_th)
         params, bs = state.params, state.batch_stats
         if compute_dtype is not None:
-            cast = lambda t: jax.tree_util.tree_map(
-                lambda a: a.astype(compute_dtype), t)
-            params, bs, x = cast(params), cast(bs), x.astype(compute_dtype)
+            # batch_stats stay f32: norms compute statistics in f32
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(compute_dtype), params)
+            x = x.astype(compute_dtype)
         variables = {"params": params, "batch_stats": bs}
         mutable = ["batch_stats"] if use_batch_stats else []
         if collect_spike_rates:
