@@ -52,6 +52,12 @@ def build_optimizer(*, name: str = "AdamW", lr: float = 1e-4,
         parts.append(optax.clip_by_global_norm(clip_grad))
     parts.append(opt)
     tx = optax.chain(*parts)
+    # skip non-finite updates instead of poisoning the params: pathological
+    # batches (e.g. an event-free crop, where every BatchNorm amplifies
+    # gradients by ~1/sqrt(eps)) can overflow the gradient norm; torch's
+    # clip_grad_norm_ scales such grads to ~zero, and this is the optax
+    # equivalent
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=10000)
     if num_acc > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=num_acc)
     return tx
