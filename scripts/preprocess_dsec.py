@@ -165,13 +165,24 @@ def process_sequence(root, sequence, events_input="voxel", num_frames=10,
                     chunk = events_to_voxel_grid(seq, num_frames,
                                                  normalize=False, pol=True)
             elif events_input == "cnt":
-                m = (x_r >= 0) & (x_r < WIDTH) & (y_r >= 0) & (y_r < HEIGHT)
-                frame = np.zeros((2, HEIGHT, WIDTH), np.float32)
-                xi = x_r[m].astype(int)
-                yi = y_r[m].astype(int)
-                pi = p[m].astype(int)
-                np.add.at(frame, (1 - pi, yi, xi), 1.0)
-                chunk = frame
+                # reference cnt layout: one [2, H, W] count frame per equal-dt
+                # sub-window, stacked to [num_frames, 2, H, W] (channel 0 = ON)
+                # — DSEC_dataset_preprocess.py:90-128 slicing each sub-window
+                # through cumulate_spikes_into_frames
+                # (event_representations.py:33-43).
+                dt = (t_end - t_beg) / num_frames
+                t_ev = ev["t"].astype(np.float64)
+                in_bounds = ((x_r >= 0) & (x_r < WIDTH)
+                             & (y_r >= 0) & (y_r < HEIGHT))
+                chunk = np.zeros((num_frames, 2, HEIGHT, WIDTH), np.float32)
+                for f in range(num_frames):
+                    # EventSlicer.get_events half-open window [start, end)
+                    m = (in_bounds & (t_ev >= t_beg + f * dt)
+                         & (t_ev < t_beg + (f + 1) * dt))
+                    xi = x_r[m].astype(int)
+                    yi = y_r[m].astype(int)
+                    pi = p[m].astype(int)
+                    np.add.at(chunk[f], (1 - pi, yi, xi), 1.0)
             elif events_input == "list":
                 t = (ev["t"] - t_beg) / (t_end - t_beg)
                 chunk = np.array([{"p": ev["p"], "t": t, "x": x_r,

@@ -128,15 +128,30 @@ def downsample_data(arrays, scale_factor: float):
 
 
 def build_train_augmentation(augment_names, augment_prob, crop=None,
-                             max_drop_rate=0.6):
+                             max_drop_rate=0.6, rotation_degrees=(0.0, 0.0)):
     """Compose the reference's configured train transforms into one jittable
     fn(rng, events, flow, mask). Config parity: loader.augment /
-    loader.augment_prob (e.g. ["Horizontal", "Vertical", "Polarity"])."""
+    loader.augment_prob (e.g. ["Horizontal", "Vertical", "Polarity"]).
+
+    A "Rotation" entry maps to :func:`rotation_flip` (the reference's
+    RandomRotationFlip, data_augmentation.py:143-219 — dormant there: only
+    commented-out driver lines and a __main__ smoke block construct it); its
+    augment_prob entry supplies p_hflip, ``rotation_degrees`` (config key
+    loader.rotation_degrees) the angle range. Rotation runs BEFORE the crop,
+    matching the reference composition order (DSEC_dataset_lite.py:147-151).
+    """
     names = [n.lower() for n in (augment_names or [])]
     probs = list(augment_prob or [])
 
     def apply(rng, events, flow, mask):
-        keys = jax.random.split(rng, 4)
+        keys = jax.random.split(rng, 5)
+        for i, n in enumerate(names):
+            if n.startswith("rotation"):
+                p = probs[i] if i < len(probs) else 0.5
+                events, flow, mask = rotation_flip(
+                    keys[4], events, flow, mask,
+                    degrees=tuple(rotation_degrees),
+                    p_hflip=p, p_vflip=p)
         if crop is not None:
             events, flow, mask = random_crop(keys[0], events, flow, mask,
                                              tuple(crop))

@@ -62,9 +62,11 @@ def load_config(path: str) -> dict:
 
 def merge_eval_config(train_cfg: dict, eval_cfg: dict) -> dict:
     """Overlay an eval-protocol config onto a train config (eval wins) —
-    parity with YAMLParser.merge_configs semantics."""
+    parity with YAMLParser.merge_configs (configs/parser.py:104-121), which
+    re-hydrates every key: scalar top-level overrides (e.g. ``experiment:``)
+    apply too, not only dict-valued sections."""
     merged = copy.deepcopy(train_cfg)
-    _merge(merged, {k: v for k, v in eval_cfg.items() if isinstance(v, dict)})
+    _merge(merged, eval_cfg)
     return merged
 
 

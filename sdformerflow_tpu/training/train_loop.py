@@ -112,7 +112,8 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
     augment = build_train_augmentation(
         loader.get("augment"), loader.get("augment_prob"),
         crop=loader.get("crop"),
-        max_drop_rate=loader.get("max_drop_rate", 0.6))
+        max_drop_rate=loader.get("max_drop_rate", 0.6),
+        rotation_degrees=loader.get("rotation_degrees", (0.0, 0.0)))
     aug_jit = jax.jit(augment)
 
     crop = loader.get("crop")
