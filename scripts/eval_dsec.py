@@ -55,6 +55,10 @@ def main():
                     help="bf16 inference path")
     ap.add_argument("--store_spike_rates", action="store_true",
                     help="record per-neuron-site firing rates (SNN only)")
+    ap.add_argument("--store_membrane", action="store_true",
+                    help="record per-neuron-site membrane statistics "
+                         "(mean/std/max per timestep; reference "
+                         "vis.monitor_v, eval_DSEC_flow_SNN.py:145-149)")
     ap.add_argument("--log_attn", action="store_true",
                     help="store per-stage attention maps of the first batch")
     args = ap.parse_args()
@@ -66,6 +70,8 @@ def main():
         config["data"]["path"] = args.path
 
     model_cfg, swin_cfg, spiking_cfg = build_configs(config)
+    if args.store_membrane:
+        spiking_cfg = spiking_cfg.replace(store_v_seq=True)
     name = config["model"]["name"]
     model = get_model(name, model_cfg, swin_cfg, spiking_cfg)
 
@@ -113,11 +119,12 @@ def main():
         state = dataclasses.replace(state, params=params, batch_stats=bs)
         print(f"converted torch checkpoint {args.torch_ckpt}")
 
+    collect_sites = args.store_spike_rates or args.store_membrane
     eval_step = make_eval_step(
         encoding=encoding, polarity=polarity, norm_input=norm_input,
         spike_th=spike_th, use_batch_stats=batch_size == 1,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
-        collect_spike_rates=args.store_spike_rates)
+        collect_spike_rates=collect_sites)
 
     vis = None
     if args.store_vis or args.store_submission:
@@ -131,6 +138,7 @@ def main():
 
     acc = {k: [] for k in ("AEE", "PE1", "PE2", "PE3", "outlier", "AAE")}
     spike_rates = None
+    membrane = None
     n = 0
     for i, batch in enumerate(batch_iterator(dataset, batch_size,
                                              drop_last=False)):
@@ -142,14 +150,22 @@ def main():
         if crop:
             chunk, label, mask = center_crop(chunk, label, mask, tuple(crop))
         step_out = eval_step(state, chunk)
-        if args.store_spike_rates:
-            flows, rates = step_out
+        if collect_sites:
+            flows, sites = step_out
             if i == 0:
-                flat = jax.tree_util.tree_flatten_with_path(rates)[0]
-                spike_rates = {
-                    "/".join(str(getattr(p, "key", p)) for p in path):
-                        float(np.asarray(v).mean())
+                flat = jax.tree_util.tree_flatten_with_path(sites)[0]
+                keyed = {
+                    "/".join(str(getattr(p, "key", p)) for p in path): v
                     for path, v in flat}
+                if args.store_spike_rates:
+                    spike_rates = {
+                        k: float(np.asarray(v).mean())
+                        for k, v in keyed.items() if "spike_rate" in k}
+                if args.store_membrane:
+                    # [T, 3] per site: (mean, std, max) per timestep
+                    membrane = {
+                        k: np.asarray(v, np.float32).reshape(-1, 3).tolist()
+                        for k, v in keyed.items() if "membrane" in k}
         else:
             flows = step_out
         pred = flows[-1]
@@ -188,6 +204,8 @@ def main():
     logger.log_artifact_dict("results.json", results)
     if spike_rates is not None:
         logger.log_artifact_dict("spike_rates.json", spike_rates)
+    if membrane is not None:
+        logger.log_artifact_dict("membrane_stats.json", membrane)
     logger.close()
     print(json.dumps(results, indent=2))
 

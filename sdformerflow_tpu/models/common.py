@@ -26,6 +26,10 @@ class SpikingConfig:
     tau: float = 2.0
     detach_reset: bool = True
     spike_norm: Optional[str] = "BN"  # BN | BN_notrack | GN | IN | LN | BNTT | TDBN
+    # membrane monitor (reference vis.monitor_v / store_v_seq,
+    # eval_DSEC_flow_SNN.py:145-149): when True each neuron site sows
+    # per-step membrane statistics into the ``intermediates`` collection
+    store_v_seq: bool = False
 
     def replace(self, **kw) -> "SpikingConfig":
         return dataclasses.replace(self, **kw)

@@ -38,13 +38,14 @@ from .spiking_patch_embed import (MSPEDSpikingPatchEmbedConvSfn,
                                   MSSpikingPatchEmbedConvLocal,
                                   SpikingPatchEmbedConv,
                                   SpikingPatchEmbedConvSfn,
+                                  SpikingPatchEmbedLocal,
                                   SpikingPatchEmbedSfn, chunk_regroup,
                                   sfn_regroup)
 from .spiking_swin import SpikingNorm, SpikingSwinStage
 
 PATCH_EMBEDS = {
-    "Spiking_PatchEmbedLocal": lambda **kw: SpikingPatchEmbedSfn(use_ms=False, **kw),
-    "MS_Spiking_PatchEmbedLocal": lambda **kw: SpikingPatchEmbedSfn(use_ms=True, **kw),
+    "Spiking_PatchEmbedLocal": lambda **kw: SpikingPatchEmbedLocal(use_ms=False, **kw),
+    "MS_Spiking_PatchEmbedLocal": lambda **kw: SpikingPatchEmbedLocal(use_ms=True, **kw),
     "Spiking_PatchEmbed_sfn": lambda **kw: SpikingPatchEmbedSfn(use_ms=False, **kw),
     "MS_Spiking_PatchEmbed_sfn": lambda **kw: SpikingPatchEmbedSfn(use_ms=True, **kw),
     "Spiking_PatchEmbed_Conv": lambda **kw: SpikingPatchEmbedConv(use_ms=False, **kw),

@@ -50,38 +50,54 @@ class SpikingNeuron(nn.Module):
 
     @nn.compact
     def __call__(self, x_seq):
-        out = self._fire(x_seq)
+        collecting = self.is_mutable_collection("intermediates")
+        want_v = collecting and self.cfg.store_v_seq
+        out = self._fire(x_seq, return_v=want_v)
+        if want_v:
+            out, v_seq = out
+            # Compact per-step statistics instead of the reference's raw
+            # v_seq records (AttributeMonitor('v_seq'), which it only
+            # prints): [T, 3] = (mean, std, max) over all non-time axes.
+            axes = tuple(range(1, v_seq.ndim))
+            v_seq = v_seq.astype(jnp.float32)
+            self.sow("intermediates", "membrane",
+                     jnp.stack([v_seq.mean(axis=axes), v_seq.std(axis=axes),
+                                v_seq.max(axis=axes)], axis=-1))
         # compute the telemetry only when the collection is actually being
         # collected — the (out != 0) bool tensor otherwise costs real layout
         # copies on TPU even though its value is unused
-        if self.is_mutable_collection("intermediates"):
+        if collecting:
             self.sow("intermediates", "spike_rate",
                      jnp.mean((out != 0).astype(jnp.float32)))
         return out
 
-    def _fire(self, x_seq):
+    def _fire(self, x_seq, return_v: bool = False):
         cfg = self.cfg
         sg = get_surrogate(cfg.surrogate, cfg.surrogate_alpha)
         kind = cfg.neuron_type.lower()
         if kind == "lif":
             return neurons.lif_neuron(x_seq, v_th=cfg.v_th, v_reset=cfg.v_reset,
                                       tau=cfg.tau, surrogate_fn=sg,
-                                      detach_reset=cfg.detach_reset)
+                                      detach_reset=cfg.detach_reset,
+                                      return_v=return_v)
         if kind == "if":
             return neurons.if_neuron(x_seq, v_th=cfg.v_th, v_reset=cfg.v_reset,
                                      surrogate_fn=sg,
-                                     detach_reset=cfg.detach_reset)
+                                     detach_reset=cfg.detach_reset,
+                                     return_v=return_v)
         if kind == "plif":
             w = self.param("w", lambda _: jnp.asarray(
                 neurons.plif_init_w(cfg.tau), jnp.float32))
             return neurons.plif_neuron(x_seq, w, v_th=cfg.v_th,
                                        v_reset=cfg.v_reset, surrogate_fn=sg,
-                                       detach_reset=cfg.detach_reset)
+                                       detach_reset=cfg.detach_reset,
+                                       return_v=return_v)
         if kind == "slttlif":
             return neurons.sltt_lif_neuron(x_seq, v_th=cfg.v_th,
                                            v_reset=cfg.v_reset, tau=cfg.tau,
                                            surrogate_fn=sg,
-                                           detach_reset=cfg.detach_reset)
+                                           detach_reset=cfg.detach_reset,
+                                           return_v=return_v)
         if kind == "psn":
             T = cfg.num_steps
             assert x_seq.shape[0] == T, (
@@ -94,14 +110,16 @@ class SpikingNeuron(nn.Module):
 
             weight = self.param("weight", _uniform_sym, (T, T))
             bias = self.param("bias", nn.initializers.constant(-1.0), (T, 1))
-            return neurons.psn_neuron(x_seq, weight, bias, surrogate_fn=sg)
+            return neurons.psn_neuron(x_seq, weight, bias, surrogate_fn=sg,
+                                      return_v=return_v)
         if kind == "glif":
             T = cfg.num_steps
             params = self.param(
                 "glif", lambda key: neurons.glif_init(key, T, init_tau=0.25,
                                                       init_v_threshold=0.5,
                                                       init_conduct=0.5))
-            return neurons.glif_neuron(x_seq, params, surrogate_fn=sg)
+            return neurons.glif_neuron(x_seq, params, surrogate_fn=sg,
+                                       return_v=return_v)
         raise ValueError(f"unknown neuron_type {cfg.neuron_type!r}")
 
 

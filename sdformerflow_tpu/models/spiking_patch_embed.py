@@ -50,6 +50,74 @@ def chunk_regroup(x, num_steps: int):
     return x.transpose(1, 0, 3, 4, 2)
 
 
+class SpikingPatchEmbedLocal(nn.Module):
+    """Distinct "Local" embed: full-width head at stride 1 -> 4 resblocks ->
+    projection at the full spatial patch stride (no intermediate /2 conv).
+    Parity: Spiking_PatchEmbedLocal (Spiking_modules.py:975-1063) — head
+    width ``in_chans // (num_steps - 1)`` (:991-999), 4 residual blocks with
+    ADD joins (:1001-1018), spiking projection stride ``patch_size[2:]``
+    (:1021-1023), patches_resolution = img_size // patch_size[2:] (:982).
+
+    The reference applies no input regroup before the head; its raw
+    ``[B, bins, 2, H, W]`` layout only type-checks because multi-step conv
+    flattens the leading two axes. Here the bins/polarity axes are chunked
+    onto the time axis with exactly the reference head width (for the
+    standard bins == num_steps configs ``in_chans // (num_steps - 1)``
+    equals ``2 * bins // num_steps``, so the parameter shapes match).
+
+    ``spiking_proj=False`` selects the reference's plain-conv projection
+    branch; note that branch is unreachable in the reference (it reads the
+    commented-out ``self.num_blocks`` attribute, :1048 -> NameError, and the
+    backbone always passes spiking_proj=True, :1177-1178). Implemented here
+    as the evident intent: one shared conv applied per time step.
+    """
+
+    img_size: Tuple[int, int]
+    patch_size: Tuple[int, ...] = (1, 1, 2, 2)
+    in_chans: int = 10
+    embed_dim: int = 96
+    cfg: SpikingConfig = SpikingConfig()
+    use_ms: bool = False
+    num_res: int = 4
+    spiking_proj: bool = True
+
+    @property
+    def patches_resolution(self):
+        return (self.img_size[0] // self.patch_size[-2],
+                self.img_size[1] // self.patch_size[-1])
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x[:, :self.in_chans]
+        T = self.cfg.num_steps
+        head_in = max(self.in_chans * 2 // max(T - 1, 1), 1)
+        B, bins, P, H, Wd = x.shape
+        # chunk (bin, polarity) pairs onto T steps at the reference head width
+        flat = x.reshape(B, bins * P, H, Wd)[:, :T * head_in]
+        xt = flat.reshape(B, T, head_in, H, Wd).transpose(1, 0, 3, 4, 2)
+        if self.use_ms:
+            xt = MSSpikingConvEncoderLayer(self.embed_dim, self.cfg, 3, 1, 1,
+                                           first_layer=True,
+                                           name="head")(xt, train)
+        else:
+            xt = SpikingConvEncoderLayer(self.embed_dim, self.cfg, 3, 1, 1,
+                                         name="head")(xt, train)
+        xt = SpikingResidualStack(self.embed_dim, self.cfg, self.num_res,
+                                  use_ms=self.use_ms,
+                                  name="residual_encoding")(xt, train)
+        if self.spiking_proj:
+            xt = SpikingEmbeddingLayer(self.embed_dim, self.cfg,
+                                       stride=tuple(self.patch_size[-2:]),
+                                       use_ms=self.use_ms,
+                                       name="proj")(xt, train)
+        else:
+            proj = nn.Conv(self.embed_dim, (3, 3),
+                           strides=tuple(self.patch_size[-2:]),
+                           padding=((1, 1), (1, 1)), name="proj")
+            xt = jnp.stack([proj(xt[i]) for i in range(T)], axis=0)
+        return xt
+
+
 class SpikingPatchEmbedConvSfn(nn.Module):
     """sfn regroup -> SEW head -> (MS|SEW) conv /2 -> resblocks -> embedding
     projection /patch. Parity: Spiking_PatchEmbed_Conv_sfn and its MS variant

@@ -130,7 +130,8 @@ def plif_init_w(init_tau: float = 2.0) -> float:
     return -math.log(init_tau - 1.0)
 
 
-def psn_neuron(x_seq, weight, bias, *, surrogate_fn: SurrogateFn = atan_spike):
+def psn_neuron(x_seq, weight, bias, *, surrogate_fn: SurrogateFn = atan_spike,
+               return_v=False):
     """Parallel Spiking Neuron: h = W @ x + b contracted over the time axis.
 
     ``weight``: [T, T]; ``bias``: [T] or [T, 1]. No recurrence — the whole
@@ -144,7 +145,10 @@ def psn_neuron(x_seq, weight, bias, *, surrogate_fn: SurrogateFn = atan_spike):
     T = x_seq.shape[0]
     b = bias.reshape((T,) + (1,) * (x_seq.ndim - 1))
     h = jnp.tensordot(weight, x_seq, axes=((1,), (0,))) + b
-    return surrogate_fn(h)
+    spike = surrogate_fn(h)
+    if return_v:
+        return spike, h  # PSN "membrane" = pre-spike potential h
+    return spike
 
 
 class GLIFParams(NamedTuple):
@@ -183,7 +187,7 @@ def glif_init(key, T: int, *, init_tau=0.25, init_v_threshold=0.5,
 
 
 def glif_neuron(x_seq, params: GLIFParams, *,
-                surrogate_fn: SurrogateFn = atan_spike):
+                surrogate_fn: SurrogateFn = atan_spike, return_v=False):
     """Gated LIF (layer-wise gates), matching the reference step ordering:
     charge(x_t) with previous v -> reset with the *previous* spike -> fire.
     """
@@ -204,9 +208,10 @@ def glif_neuron(x_seq, params: GLIFParams, *,
         u = (u - (1.0 - alpha * (1.0 - tau_s)) * v * gamma * prev_spike
              - (1.0 - gamma) * v_subreset_s * prev_spike)
         spike = surrogate_fn(u - v_th_s)
-        return (u, spike), spike
+        out = (spike, u) if return_v else spike
+        return (u, spike), out
 
     v0 = jnp.zeros_like(x_seq[0])
     s0 = jnp.zeros_like(x_seq[0])
-    _, spikes = jax.lax.scan(step, (v0, s0), (x_seq, conduct_s))
-    return spikes
+    _, out = jax.lax.scan(step, (v0, s0), (x_seq, conduct_s))
+    return out
