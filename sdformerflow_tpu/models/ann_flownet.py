@@ -66,7 +66,7 @@ class SwinTransformer3DBackbone(nn.Module):
                 downsample=i < len(depths) - 1, name=f"stage{i}")
             x, pre_merge = stage(x, train)
             if i in sw.out_indices:
-                out = nn.LayerNorm(name=f"norm{i}")(pre_merge)
+                out = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(pre_merge)
                 outs.append(out)
         return tuple(outs)
 

@@ -126,7 +126,7 @@ class SwinBlock3D(nn.Module):
         B, D, H, Wd, C = x.shape
         window_size, shift_size = W.get_window_size(
             (D, H, Wd), self.window_size, self.shift_size)
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x, _ = W.pad_to_windows(x, window_size)
         _, Dp, Hp, Wp, _ = x.shape
         if any(s > 0 for s in shift_size):
@@ -167,7 +167,7 @@ class SwinBlock3D(nn.Module):
 
         x = shortcut + dp(y)
         y = Mlp(self.dim, int(self.dim * self.mlp_ratio),
-                name="mlp")(nn.LayerNorm(name="norm2")(x))
+                name="mlp")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
         return x + dp(y)
 
 
@@ -184,7 +184,7 @@ class PatchMerging(nn.Module):
         x = jnp.concatenate([x[:, :, 0::2, 0::2], x[:, :, 1::2, 0::2],
                              x[:, :, 0::2, 1::2], x[:, :, 1::2, 1::2]],
                             axis=-1)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return _dense(2 * self.dim, False, "reduction")(x)
 
 

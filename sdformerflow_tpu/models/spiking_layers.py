@@ -149,12 +149,15 @@ class TorchBatchNorm(nn.Module):
         scale = self.param("scale", self.scale_init, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
 
-        # statistics ALWAYS in f32: reducing millions of bf16 values in bf16
-        # corrupts the variance (it can even go negative -> NaN in rsqrt)
-        xf = x.astype(jnp.float32)
+        # statistics ALWAYS in >= f32: reducing millions of bf16 values in
+        # bf16 corrupts the variance (it can even go negative -> NaN in
+        # rsqrt). promote (not hard-cast) so a float64 input stays float64
+        # (the reference-parity tests run both frameworks in f64).
+        cdt = jnp.promote_types(x.dtype, jnp.float32)
+        xf = x.astype(cdt)
         if use_running_average:
-            mean = ra_mean.value.astype(jnp.float32)
-            var = ra_var.value.astype(jnp.float32)
+            mean = ra_mean.value.astype(cdt)
+            var = ra_var.value.astype(cdt)
         else:
             axes = tuple(range(x.ndim - 1))
             mean = xf.mean(axis=axes)
@@ -163,12 +166,12 @@ class TorchBatchNorm(nn.Module):
                 n = x.size / features
                 unbiased = var * (n / max(n - 1.0, 1.0))
                 m = self.momentum
-                ra_mean.value = ((1 - m) * ra_mean.value.astype(jnp.float32)
+                ra_mean.value = ((1 - m) * ra_mean.value.astype(cdt)
                                  + m * mean)
-                ra_var.value = ((1 - m) * ra_var.value.astype(jnp.float32)
+                ra_var.value = ((1 - m) * ra_var.value.astype(cdt)
                                 + m * unbiased)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        y = y * scale.astype(cdt) + bias.astype(cdt)
         return y.astype(x.dtype)
 
 
@@ -229,17 +232,66 @@ def conv2d(features, kernel_size, stride=1, padding=None, use_bias=True,
                    use_bias=use_bias, kernel_init=kernel_init, name=name)
 
 
-def conv_transpose2d(features, kernel_size, stride=2, use_bias=True, name=None,
-                     kernel_init=xavier_uniform):
-    """x2 (or x4) upsampling transposed conv.
+class TorchConvTranspose(nn.Module):
+    """Transposed conv with EXACT torch ``nn.ConvTranspose2d`` semantics.
 
-    Geometry matches torch ConvTranspose2d(k, stride, padding=k//2,
-    output_padding=1) — output = stride * input — via 'SAME' padding.
+    torch computes the adjoint of Conv2d: zero-insert the input by
+    ``stride``, pad by ``(k-1-padding, k-1-padding+output_padding)``, and
+    cross-correlate with the spatially *flipped* kernel. flax's
+    ``nn.ConvTranspose`` ('SAME') differs in both kernel orientation and pad
+    placement, which broke bit-parity with converted reference decoder
+    weights (found by the f64 A/B harness in tests/test_reference_parity.py;
+    reference decoders: /root/reference/models/STSwinNet_SNN/
+    Spiking_modules.py:398-460).
+
+    The kernel is stored as ``(kh, kw, in, out)`` — i.e. torch's
+    ``weight.transpose(2, 3, 0, 1)`` — so training/torch_interop.py's
+    "deconv" transform is unchanged; the spatial flip happens at apply time.
+    Works on any ``[..., H, W, C]`` input (leading dims are batch).
     """
-    return nn.ConvTranspose(features, (kernel_size, kernel_size),
-                            strides=(stride, stride), padding="SAME",
-                            use_bias=use_bias, kernel_init=kernel_init,
-                            name=name)
+
+    features: int
+    kernel_size: int
+    stride: int = 2
+    padding: Optional[int] = None  # default: kernel_size // 2
+    output_padding: int = 1
+    use_bias: bool = True
+    kernel_init: Any = xavier_uniform
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        p = k // 2 if self.padding is None else self.padding
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, cin, self.features))
+        lead = x.shape[:-3]
+        xr = x.reshape((-1,) + x.shape[-3:])
+        pad = (k - 1 - p, k - 1 - p + self.output_padding)
+        y = jax.lax.conv_general_dilated(
+            xr, kernel[::-1, ::-1].astype(x.dtype), window_strides=(1, 1),
+            padding=(pad, pad), lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y.reshape(lead + y.shape[-3:])
+
+
+def conv_transpose2d(features, kernel_size, stride=2, use_bias=True, name=None,
+                     kernel_init=xavier_uniform, padding=None,
+                     output_padding=1):
+    """x2 (or x4) upsampling transposed conv, torch-exact geometry.
+
+    Defaults match torch ConvTranspose2d(k, stride, padding=k//2,
+    output_padding=1) — output = stride * input (reference decoders,
+    Spiking_modules.py:421-443).
+    """
+    return TorchConvTranspose(features, kernel_size, stride=stride,
+                              padding=padding, output_padding=output_padding,
+                              use_bias=use_bias, kernel_init=kernel_init,
+                              name=name)
 
 
 class SpikingConvEncoderLayer(nn.Module):
@@ -344,8 +396,11 @@ class SpikingTransposeDecoderLayer(nn.Module):
     def __call__(self, x, train: bool = False):
         norm = self.cfg.spike_norm
         k = self.kernel_size if self.scale == 2 else 7
+        # scale-4 geometry: torch ConvTranspose2d(7, stride=4, padding=2,
+        # output_padding=1) (Spiking_modules.py:434-443)
         x = conv_transpose2d(self.out_channels, k, self.scale,
-                             use_bias=norm is None, name="deconv")(x)
+                             use_bias=norm is None, name="deconv",
+                             padding=k // 2 if self.scale == 2 else 2)(x)
         if norm is not None:
             x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
                             self.cfg.v_th, name="norm")(x, train)
@@ -366,7 +421,8 @@ class MSSpikingTransposeDecoderLayer(nn.Module):
         x = SpikingNeuron(self.cfg, name="sn")(x)
         k = self.kernel_size if self.scale == 2 else 7
         x = conv_transpose2d(self.out_channels, k, self.scale,
-                             use_bias=norm is None, name="deconv")(x)
+                             use_bias=norm is None, name="deconv",
+                             padding=k // 2 if self.scale == 2 else 2)(x)
         if norm is not None:
             x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
                             self.cfg.v_th, name="norm")(x, train)

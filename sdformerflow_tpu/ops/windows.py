@@ -56,6 +56,47 @@ def window_partition_v2(x, window_size):
     return x.reshape(wd, -1, wh, ww, C)
 
 
+def window_partition_v2_tm(x, window_size):
+    """Time-major variant: [D, B, H, W, C] -> [wd, B*nW, wh, ww, C].
+
+    Bit-identical element mapping to ``window_partition_v2`` (verified in
+    tests/test_windows.py) — including the reference's RAW-REFOLD quirk: the
+    final reshape regroups the row-major ravel of (B, nD, nH, nW, wd, wh,
+    ww, C) into a leading ``wd`` axis (Spiking_swin_transformer3D.py:100-113
+    does ``permute(0,1,3,5,2,4,6,7).view(wd, -1, wh, ww, C)``), so the
+    "time" axis inside spiking attention is NOT the clean window-time axis.
+    Starting from time-major stage features removes the [B, D] <-> [D, B]
+    full-tensor transposes the stages used to need (PERF_NOTES.md).
+    """
+    D, B, H, W, C = x.shape
+    wd, wh, ww = window_size
+    x = x.reshape(D // wd, wd, B, H // wh, wh, W // ww, ww, C)
+    x = x.transpose(2, 0, 3, 5, 1, 4, 6, 7)  # B, nD, nH, nW, wd, wh, ww, C
+    return x.reshape(wd, -1, wh, ww, C)      # raw refold (reference quirk)
+
+
+def window_reverse_tm(windows, window_size, B, D, H, W):
+    """Inverse of ``window_partition_v2_tm`` + the reference's raw
+    ``view(B_, N, C)`` fold of the attention output:
+    [wd, B*nW, wh, ww, C] -> [D, B, H, W, C]."""
+    wd, wh, ww = window_size
+    x = windows.reshape(B, D // wd, H // wh, W // ww, wd, wh, ww, -1)  # raw
+    x = x.transpose(1, 4, 0, 2, 5, 3, 6, 7)  # nD, wd, B, nH, wh, nW, ww, C
+    return x.reshape(D, B, H, W, -1)
+
+
+def pad_to_windows_tm(x, window_size):
+    """Zero-pad time-major [D, B, H, W, C] so D/H/W are window multiples."""
+    D, B, H, W, C = x.shape
+    wd, wh, ww = window_size
+    pad_d = (wd - D % wd) % wd
+    pad_h = (wh - H % wh) % wh
+    pad_w = (ww - W % ww) % ww
+    if pad_d or pad_h or pad_w:
+        x = jnp.pad(x, ((0, pad_d), (0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    return x, (D, H, W)
+
+
 def window_reverse(windows, window_size, B, D, H, W):
     """[B*nW, wd, wh, ww, C] (any trailing layout reshapeable to it) ->
     [B, D, H, W, C]."""
@@ -124,7 +165,18 @@ def relative_position_index(window_size):
 
 def relative_coords_table(window_size, pretrained_window_size=(0, 0, 0)):
     """Log-spaced continuous relative coordinates for the swin-v2 cpb MLP:
-    [1, 2wd-1, 2wh-1, 2ww-1, 3]."""
+    [1, 2wd-1, 2wh-1, 2ww-1, 3].
+
+    QUIRK (deliberate, reference-parity): the reference normalizes with
+    ``table[:, :, :, i] /= (ws[i] - 1)`` on the 5-D table
+    (/root/reference/models/STSwinNet/swin_transformer3D_v2.py:126-133),
+    which — inherited from the 4-D 2-D-swin code — indexes the *Ww axis*,
+    not the coords channel. So only the first three W-offset slices are
+    divided (each across ALL three coordinate channels) and the remaining
+    W-offsets keep raw coordinates. Verified bit-exact against the
+    reference module in tests/test_reference_parity.py. We only guard the
+    0-divisor case (wd == 1) which would produce inf on the torch side.
+    """
     wd, wh, ww = window_size
     rd = np.arange(-(wd - 1), wd, dtype=np.float32)
     rh = np.arange(-(wh - 1), wh, dtype=np.float32)
@@ -134,7 +186,7 @@ def relative_coords_table(window_size, pretrained_window_size=(0, 0, 0)):
     ref = pretrained_window_size if pretrained_window_size[0] > 0 else window_size
     for i in range(3):
         denom = max(ref[i] - 1, 1)
-        table[..., i] /= denom
+        table[:, :, :, i] /= denom  # sic: W-axis slice, not coords channel
     table *= 8.0
     table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
     return table.astype(np.float32)

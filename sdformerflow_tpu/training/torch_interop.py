@@ -5,9 +5,9 @@ MS_SpikingformerFlowNet* — /root/reference/models/STSwinNet_SNN/*) onto this
 framework's flax param/batch_stats trees, with layout transforms:
 
 - Conv2d weight OIHW -> HWIO; ConvTranspose2d (I, O, kh, kw) -> (kh, kw, I, O)
-  (geometry note: our transposed convs use 'SAME' padding vs torch's
-  explicit padding + output_padding — same output sizes, so converted
-  weights are usable, but transposed-conv layers are not bit-identical);
+  (models.spiking_layers.TorchConvTranspose reproduces torch's zero-insert +
+  flipped-kernel geometry exactly, so converted decoders are bit-identical —
+  verified in tests/test_reference_parity.py);
 - Linear [out, in] -> [in, out];
 - BatchNorm weight/bias -> scale/bias (params), running_mean/var ->
   mean/var (batch_stats);
@@ -101,6 +101,9 @@ def build_rules(num_stages=4, max_depth=8, num_res=2, num_encoders=4,
     pe_f = f"{root_f}/encoders/patch_embed"
     R += _conv_block_rules(f"{pe_t}.head", f"{pe_f}/head")
     R += _conv_block_rules(f"{pe_t}.conv", f"{pe_f}/conv", has_sn=False)
+    # SEW embeds (Spiking_PatchEmbed_Conv_sfn, Spiking_modules.py:1523-1596)
+    # have a trailing sn on the stride-2 conv; MS_PED's conv has none.
+    R += _neuron_rules(f"{pe_t}.conv.sn", f"{pe_f}/conv/sn")
     for r in range(pe_res):
         R += _resblock_rules(f"{pe_t}.residual_encoding.resblocks.{r}",
                              f"{pe_f}/residual_encoding/res{r}")
@@ -185,8 +188,13 @@ def _ann_resblock_rule(t, f):
         R += [(f"{t}.{c}.weight", "params", f"{f}/{c}/kernel", "conv"),
               (f"{t}.{c}.bias", "params", f"{f}/{c}/bias", "id")]
     for n in ("bn1", "bn2"):
-        # ANN Norm2d wraps flax BatchNorm (auto-named BatchNorm_0)
-        R += _norm_rule(f"{t}.{n}", f"{f}/{n}")
+        # torch side: direct nn.BatchNorm2d attribute (submodules.py:186-189);
+        # flax side: Norm2d wraps TorchBatchNorm (auto-named BatchNorm_0)
+        fb = f"{f}/{n}/BatchNorm_0"
+        R += [(f"{t}.{n}.weight", "params", fb + "/scale", "id"),
+              (f"{t}.{n}.bias", "params", fb + "/bias", "id"),
+              (f"{t}.{n}.running_mean", "batch_stats", fb + "/mean", "id"),
+              (f"{t}.{n}.running_var", "batch_stats", fb + "/var", "id")]
     return R
 
 
