@@ -77,7 +77,7 @@ class SpikingSwinTransformer3D(nn.Module):
             in_chans=self.in_chans, embed_dim=self.embed_dim, cfg=self.cfg,
             name="patch_embed")
         x = embed(x, train)                       # [T, B, H', W', C]
-        x = x.transpose(1, 0, 2, 3, 4)            # [B, D=T, H, W, C]
+        # stages run time-major [D=T, B, H, W, C]: no layout change needed
 
         depths = sw.depths
         dpr = np.linspace(0, sw.drop_path_rate, sum(depths)).tolist()
@@ -110,7 +110,7 @@ class SpikingSwinTransformer3D(nn.Module):
                     out = SpikingNorm(out.shape[-1], self.cfg.num_steps,
                                       self.spikformer_norm, self.cfg.v_th,
                                       name=f"norm{i}")(out, train)
-                outs.append(out.transpose(1, 0, 2, 3, 4))  # [T, B, H, W, C]
+                outs.append(out)  # already [T, B, H, W, C]
         if collect_attention:
             return tuple(outs), attns
         return tuple(outs)

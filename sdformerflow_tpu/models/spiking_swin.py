@@ -1,9 +1,12 @@
 """Spiking 3D shifted-window transformer (spikeformer encoder).
 
-Features flow channels-last: stages operate on ``[B, D, H, W, C]`` and the
-attention works on time-major windows ``[wd, B*nW, wh, ww, C]`` produced by
-``window_partition_v2`` — the temporal window axis doubles as the SNN time
-axis, so every neuron inside attention runs ``num_steps = window_size[0]``.
+Features flow channels-last and TIME-MAJOR end-to-end: stages operate on
+``[D, B, H, W, C]`` and the attention works on time-major windows
+``[wd, B*nW, wh, ww, C]`` produced by ``window_partition_v2_tm`` — the
+temporal window axis doubles as the SNN time axis, so every neuron inside
+attention runs ``num_steps = window_size[0]``. Keeping D leading everywhere
+removes the per-block [B, D] <-> [D, B] full-tensor transposes around every
+MLP and patch merge (~50 copies/forward in round 1, PERF_NOTES.md).
 
 Parity targets (/root/reference/models/STSwinNet_SNN/Spiking_swin_transformer3D.py):
 - Spiking_BN_WindowAttention3D (:184-411): separate Q/K/V linear+BN+spike;
@@ -157,7 +160,7 @@ class SpikingBNWindowAttention3D(nn.Module):
                               acfg.v_th, name="proj_bn")(out, train)
         if self.spike_output:
             out = SpikingNeuron(acfg, name="proj_sn")(out)
-        return out.reshape(B_, N, C), attn
+        return out, attn  # [T, B_, wh, ww, C] (time-major windows)
 
 
 class SpikingQKWindowAttention3D(nn.Module):
@@ -204,7 +207,7 @@ class SpikingQKWindowAttention3D(nn.Module):
         if self.norm in _BN_FAMILY:
             out = SpikingNorm(self.dim, acfg.num_steps, self.norm,
                               acfg.v_th, name="proj_bn")(out, train)
-        return out.reshape(B_, T * Hw * Ww_, C), attn_scores
+        return out, attn_scores  # [T, B_, wh, ww, C] (time-major windows)
 
 
 class SpikingMlp(nn.Module):
@@ -253,7 +256,7 @@ def _sew(x, y, cnf: str):
 
 class SpikingSwinBlock3D(nn.Module):
     """One spiking swin block: SSA + MLP with SEW/MS residual joins on
-    [B, D, H, W, C]."""
+    time-major [D, B, H, W, C]."""
 
     dim: int
     num_heads: int
@@ -270,22 +273,22 @@ class SpikingSwinBlock3D(nn.Module):
     cnf: str = "ADD"
 
     def _ssa(self, x, mask_matrix, train, return_attention=False):
-        B, D, H, Wd, C = x.shape
+        D, B, H, Wd, C = x.shape  # time-major stages: [D, B, H, W, C]
         window_size, shift_size = W.get_window_size(
             (D, H, Wd), self.window_size, self.shift_size)
         if self.norm in ("LN", "GN"):
             x = SpikingNorm(self.dim, self.cfg.num_steps, self.norm,
                             self.cfg.v_th, name="norm1")(x, train)
-        x, _ = W.pad_to_windows(x, window_size)
-        _, Dp, Hp, Wp, _ = x.shape
+        x, _ = W.pad_to_windows_tm(x, window_size)
+        Dp, _, Hp, Wp, _ = x.shape
         if any(s > 0 for s in shift_size):
             shifted = jnp.roll(x, (-shift_size[0], -shift_size[1],
-                                   -shift_size[2]), axis=(1, 2, 3))
+                                   -shift_size[2]), axis=(0, 2, 3))
             attn_mask = mask_matrix
         else:
             shifted = x
             attn_mask = None
-        x_windows = W.window_partition_v2(shifted, window_size)
+        x_windows = W.window_partition_v2_tm(shifted, window_size)
         if self.ms:
             attn_cls = SpikingQKWindowAttention3D
         else:
@@ -297,12 +300,12 @@ class SpikingSwinBlock3D(nn.Module):
             norm=self.norm, name="attn")(x_windows, attn_mask, train)
         if return_attention:
             return attn_score
-        shifted = W.window_reverse(attn_windows, window_size, B, Dp, Hp, Wp)
+        shifted = W.window_reverse_tm(attn_windows, window_size, B, Dp, Hp, Wp)
         if any(s > 0 for s in shift_size):
-            x = jnp.roll(shifted, shift_size, axis=(1, 2, 3))
+            x = jnp.roll(shifted, shift_size, axis=(0, 2, 3))
         else:
             x = shifted
-        return x[:, :D, :H, :Wd, :]
+        return x[:D, :, :H, :Wd, :]
 
     @nn.compact
     def __call__(self, x, mask_matrix, train: bool = False,
@@ -313,19 +316,20 @@ class SpikingSwinBlock3D(nn.Module):
             return y
         if self.drop_path_rate > 0.0 and train:
             y = drop_path(y, self.drop_path_rate, deterministic=False,
-                          rng=self.make_rng("droppath"), batch_axis=0)
+                          rng=self.make_rng("droppath"), batch_axis=1)
         x = _sew(y, shortcut, self.cnf)
         mlp_out = SpikingMlp(self.dim, int(self.dim * self.mlp_ratio),
                              self.cfg, norm=self.norm, ms=self.ms,
-                             name="mlp")(x.transpose(1, 0, 2, 3, 4), train)
+                             name="mlp")(x, train)  # already time-major
         # note: no drop-path on the MLP branch (reference parity)
-        x = _sew(mlp_out.transpose(1, 0, 2, 3, 4), x, self.cnf)
+        x = _sew(mlp_out, x, self.cnf)
         return x
 
 
 class SpikingPatchMerging(nn.Module):
-    """2x2 space-to-channel + Linear 4C->2C + norm + spike on [B, D, H, W, C].
-    SEW: reduce -> norm -> spike; MS: spike -> reduce -> norm."""
+    """2x2 space-to-channel + Linear 4C->2C + norm + spike on time-major
+    [D, B, H, W, C]. SEW: reduce -> norm -> spike; MS: spike -> reduce ->
+    norm."""
 
     dim: int
     cfg: SpikingConfig
@@ -334,13 +338,12 @@ class SpikingPatchMerging(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        B, D, H, Wd, C = x.shape
+        D, B, H, Wd, C = x.shape  # time-major; H/W at axes 2/3 as before
         if H % 2 or Wd % 2:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, H % 2), (0, Wd % 2), (0, 0)))
         x = jnp.concatenate([x[:, :, 0::2, 0::2], x[:, :, 1::2, 0::2],
                              x[:, :, 0::2, 1::2], x[:, :, 1::2, 1::2]],
-                            axis=-1)  # B D H/2 W/2 4C
-        x = x.transpose(1, 0, 2, 3, 4)  # time-major for neuron/norm
+                            axis=-1)  # D B H/2 W/2 4C
         if self.ms:
             x = SpikingNeuron(self.cfg, name="sn")(x)
             x = _dense(2 * self.dim, use_bias=False, name="reduction")(x)
@@ -351,13 +354,14 @@ class SpikingPatchMerging(nn.Module):
             x = SpikingNorm(2 * self.dim, self.cfg.num_steps, self.norm,
                             self.cfg.v_th, name="norm")(x, train)
             x = SpikingNeuron(self.cfg, name="sn")(x)
-        return x.transpose(1, 0, 2, 3, 4)
+        return x
 
 
 class SpikingSwinStage(nn.Module):
     """One stage: depth x blocks (alternating shift) + optional merge.
 
-    Input/outputs [B, D, H, W, C]; returns (downsampled, pre-merge features).
+    Input/outputs time-major [D, B, H, W, C]; returns (downsampled,
+    pre-merge features).
     """
 
     dim: int
@@ -377,7 +381,7 @@ class SpikingSwinStage(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False,
                  collect_attention: bool = False):
-        B, D, H, Wd, C = x.shape
+        D, B, H, Wd, C = x.shape  # time-major
         shift = tuple(w // 2 for w in self.window_size)
         window_size, shift_size = W.get_window_size((D, H, Wd),
                                                     self.window_size, shift)

@@ -100,6 +100,6 @@ def test_qk_attention_numpy_rederivation():
     a = k * att_token.reshape(B_, nh, -1, 1)
     a = a.reshape(B_, nh, T, H, W, hd).transpose(2, 0, 3, 4, 1, 5)
     a = a.reshape(T, B_, H, W, C)
-    want = (a @ wp + bp).reshape(B_, T * H * W, C)
+    want = a @ wp + bp  # attention now returns time-major [T, B_, H, W, C]
 
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)

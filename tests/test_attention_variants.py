@@ -25,7 +25,8 @@ def test_sew_bn_attention_versions(version):
     x = jax.random.uniform(jax.random.PRNGKey(0), (T, B_, H, W, C))
     variables = attn.init(jax.random.PRNGKey(1), x)
     out, score = attn.apply(variables, x)
-    assert out.shape == (B_, T * H * W, C)
+    # time-major windows out (the block's window_reverse_tm consumes these)
+    assert out.shape == (T, B_, H, W, C)
     assert np.isfinite(np.asarray(out)).all()
     if version == "swinv2":
         # Hamming attention goes through a softmax -> rows of the pre-bias

@@ -68,3 +68,27 @@ def test_spike_binarize_keeps_threshold_values():
     x = jnp.asarray([0.05, 0.1, 0.2])
     out = np.asarray(spike_binarize(x, 0.1))
     np.testing.assert_allclose(out, [0.0, 0.1, 1.0])
+
+
+def test_window_partition_v2_tm_matches_batch_major():
+    """The time-major partition must reproduce the reference's raw-refold
+    element mapping EXACTLY (Spiking_swin_transformer3D.py:100-113): the
+    leading "time" axis regroups the row-major ravel of
+    (B, nD, nH, nW, wd, wh, ww, C), it is NOT the clean window-time axis.
+    A clean fold passes shape checks and even full-model PSN parity, but
+    breaks stateful-neuron (IF/LIF) parity — this locks the quirk."""
+    from sdformerflow_tpu.ops.windows import (window_partition_v2,
+                                              window_partition_v2_tm,
+                                              window_reverse_tm)
+    B, D, H, Wd, C = 2, 10, 6, 12, 4
+    ws = (2, 3, 3)
+    x = jnp.arange(B * D * H * Wd * C, dtype=jnp.float32).reshape(
+        B, D, H, Wd, C)
+    x_tm = x.transpose(1, 0, 2, 3, 4)
+    old = np.asarray(window_partition_v2(x, ws))
+    new = np.asarray(window_partition_v2_tm(x_tm, ws))
+    np.testing.assert_array_equal(old, new)
+    # reverse_tm inverts partition (+ the raw (B_, N, C) fold the reference
+    # applies to the attention output) back to time-major features
+    rt = np.asarray(window_reverse_tm(jnp.asarray(new), ws, B, D, H, Wd))
+    np.testing.assert_array_equal(rt, np.asarray(x_tm))
