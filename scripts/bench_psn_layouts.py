@@ -18,8 +18,12 @@ Timing through the axon tunnel: serialize by data dependency, fetch once
 Usage: python scripts/bench_psn_layouts.py
 """
 
+import os
 import statistics
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
