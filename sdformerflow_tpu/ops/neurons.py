@@ -143,8 +143,11 @@ def psn_neuron(x_seq, weight, bias, *, surrogate_fn: SurrogateFn = atan_spike,
     (measured at >50% of a full SDformerFlow forward).
     """
     T = x_seq.shape[0]
-    b = bias.reshape((T,) + (1,) * (x_seq.ndim - 1))
-    h = jnp.tensordot(weight, x_seq, axes=((1,), (0,))) + b
+    # time-minor contraction probe: x[..., T] @ W.T keeps the contraction on
+    # the minor axis; moveaxis is a layout assignment XLA can fold
+    xm = jnp.moveaxis(x_seq, 0, -1)
+    hm = xm @ weight.T + bias.reshape((T,))
+    h = jnp.moveaxis(hm, -1, 0)
     spike = surrogate_fn(h)
     if return_v:
         return spike, h  # PSN "membrane" = pre-spike potential h

@@ -1,0 +1,165 @@
+"""Pallas TPU kernel: event -> voxel-grid trilinear scatter-add.
+
+The XLA lowering of the 8-corner scatter-add (ops/voxel.py:voxel_grid_signed)
+serializes updates on TPU — measured 86 ms for 2^20 events at 480x640x15.
+This kernel reformulates the scatter as dense math:
+
+1. sort events by their integer y-row (jax.lax.sort, ~6.5 ms at 2^20) — after
+   truncation every corner index of an event lives in rows {y0, y0+1}, time
+   bins {t0, t0+1}, columns {x0, x0+1};
+2. one grid step per image row r: its events arrive as a contiguous slice
+   (row offsets via searchsorted, scalar-prefetched); each chunk of E events
+   builds
+     - a row/bin one-hot  [R, E]  (R = (num_bins+1) * 2 (dy in {0,1})),
+       weighted by value * w_t * w_y,
+     - a column spread    [E, W]  ((1-fx) at x0, fx at x0+1),
+   and accumulates their MXU product into a VMEM accumulator [R, W];
+3. the per-row partials [H, num_bins+1, 2, W] are folded densely in XLA:
+   out[t, y] = partial[y, t, dy=0] + partial[y-1, t, dy=1], dropping the
+   (num_bins)-th bin (the reference masks tl < num_bins).
+
+Parity target: /root/reference/DSEC_dataloader/event_representations.py:248-277
+(same math as ops/voxel.py:voxel_grid_signed, which stays as the fallback and
+the golden oracle in tests/test_pallas_voxel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EVENT_CHUNK = 512
+
+
+def _voxel_kernel(off_ref, ev_ref, out_ref, evs, acc, sem, *,
+                  num_bins: int, width: int, chunk: int):
+    r = pl.program_id(0)
+    start = off_ref[r]
+    end = off_ref[r + 1]
+    n_bins1 = num_bins + 1
+    R = n_bins1 * 2
+
+    acc[...] = jnp.zeros_like(acc)
+
+    # DMA offsets must be 128-lane aligned (Mosaic tiling proof): start the
+    # scan at the aligned position below `start` and mask the leading lanes.
+    s0 = pl.multiple_of((start // 128) * 128, 128)
+
+    def body(i, _):
+        s = pl.multiple_of(s0 + i * chunk, 128)
+        dma = pltpu.make_async_copy(ev_ref.at[:, pl.ds(s, chunk)], evs, sem)
+        dma.start()
+        dma.wait()
+        x = evs[0:1]            # [1, E]
+        yv = evs[1:2]
+        tn = evs[2:3]
+        val = evs[3:4]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        pos = s + lane
+        val = jnp.where((pos >= start) & (pos < end), val, 0.0)
+
+        x0 = jnp.floor(x)
+        fx = x - x0
+        fy = yv - jnp.floor(yv)
+        t0 = jnp.floor(tn)
+        ft = tn - t0
+        t0i = t0.astype(jnp.int32)
+
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        rowmat = jnp.zeros((R, chunk), jnp.float32)
+        for dt in (0, 1):
+            wt = (1.0 - ft) if dt == 0 else ft
+            for dy in (0, 1):
+                wy = (1.0 - fy) if dy == 0 else fy
+                rid = (t0i + dt) * 2 + dy          # [1, E]
+                w = val * wt * wy                  # [1, E]
+                rowmat = rowmat + jnp.where(iota_r == rid, w, 0.0)
+
+        # column spread built as [W, E] (pure broadcasts, no sublane/lane
+        # transposes), contracted with rowmat over E
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (width, 1), 0)
+        x0i = x0.astype(jnp.int32)                 # [1, E]
+        colmat = (jnp.where(iota_w == x0i, 1.0 - fx, 0.0)
+                  + jnp.where(iota_w == x0i + 1, fx, 0.0))  # [W, E]
+
+        acc[...] += jax.lax.dot_general(
+            rowmat, colmat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        return _
+
+    n_chunks = (end - s0 + chunk - 1) // chunk
+    jax.lax.fori_loop(0, n_chunks, body, None)
+    out_ref[0] = acc[...].reshape(n_bins1, 2, width)
+
+
+def _voxel_rows_pallas(ev_sorted, offsets, *, num_rows, num_bins, width,
+                       chunk=EVENT_CHUNK):
+    """ev_sorted: [4, N_padded] (x, y, t_n, value) sorted by y-row;
+    offsets: [num_rows + 1] int32. Returns partial [num_rows, num_bins+1, 2,
+    width] f32."""
+    n_bins1 = num_bins + 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, n_bins1, 2, width),
+                               lambda r, off: (r, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((4, chunk), jnp.float32),
+            pltpu.VMEM((n_bins1 * 2, width), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_voxel_kernel, num_bins=num_bins, width=width,
+                          chunk=chunk),
+        out_shape=jax.ShapeDtypeStruct((num_rows, n_bins1, 2, width),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+    )(offsets, ev_sorted)
+
+
+def voxel_grid_signed_pallas(x, y, t, p, *, num_bins, height, width,
+                             valid=None, t_range=None, chunk=EVENT_CHUNK):
+    """Drop-in replacement for ops.voxel.voxel_grid_signed on TPU.
+
+    Same signature/semantics; internally sorts by y-row and runs the dense
+    Pallas accumulation. ~7-8x faster than the XLA scatter path at 2^20
+    events (see PERF_NOTES.md).
+    """
+    from .voxel import _t_norm
+
+    n = x.shape[0]
+    t_n = _t_norm(t.astype(jnp.float32), num_bins, t_range)
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    value = 2.0 * p.astype(jnp.float32) - 1.0
+    if valid is not None:
+        value = jnp.where(valid, value, 0.0)
+    # out-of-range guard (parity masks; valid data is already in range)
+    in_range = ((xf >= 0) & (xf <= width - 1) & (yf >= 0)
+                & (yf <= height - 1))
+    value = jnp.where(in_range, value, 0.0)
+    y_row = jnp.clip(jnp.trunc(yf).astype(jnp.int32), 0, height - 1)
+
+    key = y_row.astype(jnp.float32)
+    _, xs, ys, ts_, vs = jax.lax.sort(
+        (key, xf, yf, t_n, value), num_keys=1)
+    y_row_sorted = jnp.trunc(ys).astype(jnp.int32)
+    offsets = jnp.searchsorted(y_row_sorted, jnp.arange(height + 1),
+                               method="scan_unrolled").astype(jnp.int32)
+
+    ev = jnp.stack([xs, ys, ts_, vs])            # [4, N]
+    ev = jnp.pad(ev, ((0, 0), (0, chunk)))       # DMA tail slack
+    partial = _voxel_rows_pallas(ev, offsets, num_rows=height,
+                                 num_bins=num_bins, width=width, chunk=chunk)
+    # fold dy: out[t, y] = partial[y, t, 0] + partial[y-1, t, 1]
+    own = partial[:, :num_bins, 0]               # [H, T, W]
+    below = jnp.pad(partial[:-1, :num_bins, 1], ((1, 0), (0, 0), (0, 0)))
+    return (own + below).transpose(1, 0, 2)      # [T, H, W]

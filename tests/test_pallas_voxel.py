@@ -1,0 +1,81 @@
+"""Pallas voxelizer vs the XLA-scatter oracle (golden path, ops/voxel.py).
+
+Runs the kernel in interpret mode on CPU; the on-chip A/B + timing lives in
+scripts/bench_voxelize.py (PERF_NOTES.md records the numbers).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdformerflow_tpu.ops.voxel import voxel_grid_signed
+from sdformerflow_tpu.ops import pallas_voxel
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    import jax.experimental.pallas as pl
+    real_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return real_call(*args, **kwargs)
+
+    monkeypatch.setattr(pallas_voxel.pl, "pallas_call", interp_call)
+    yield
+
+
+def _events(n, h, w, bins, seed=0, valid_frac=1.0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, w - 1, n).astype(np.float32)
+    y = rng.uniform(0, h - 1, n).astype(np.float32)
+    t = np.sort(rng.uniform(0, 1, n)).astype(np.float32)
+    p = rng.integers(0, 2, n).astype(np.float32)
+    valid = (rng.uniform(size=n) < valid_frac)
+    return (jnp.asarray(x), jnp.asarray(y), jnp.asarray(t), jnp.asarray(p),
+            jnp.asarray(valid))
+
+
+@pytest.mark.parametrize("n,h,w,bins", [(977, 24, 32, 5), (2048, 17, 40, 3)])
+def test_pallas_matches_xla_oracle(n, h, w, bins):
+    x, y, t, p, valid = _events(n, h, w, bins)
+    want = voxel_grid_signed(x, y, t, p, num_bins=bins, height=h, width=w,
+                             t_range=(0.0, 1.0))
+    got = pallas_voxel.voxel_grid_signed_pallas(
+        x, y, t, p, num_bins=bins, height=h, width=w, t_range=(0.0, 1.0),
+        chunk=128)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    assert float(jnp.abs(want).sum()) > 0  # non-vacuous
+
+
+def test_pallas_respects_valid_mask():
+    n, h, w, bins = 1500, 20, 24, 4
+    x, y, t, p, valid = _events(n, h, w, bins, seed=1, valid_frac=0.6)
+    want = voxel_grid_signed(x, y, t, p, num_bins=bins, height=h, width=w,
+                             valid=valid, t_range=(0.0, 1.0))
+    got = pallas_voxel.voxel_grid_signed_pallas(
+        x, y, t, p, num_bins=bins, height=h, width=w, valid=valid,
+        t_range=(0.0, 1.0), chunk=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_edge_coordinates():
+    """Events exactly on the last row/col/bin boundary must not leak."""
+    h, w, bins = 8, 16, 3
+    x = jnp.asarray([0.0, 15.0, 14.5, 7.25])
+    y = jnp.asarray([0.0, 7.0, 6.5, 3.75])
+    t = jnp.asarray([0.0, 1.0, 0.5, 0.25])
+    p = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    want = voxel_grid_signed(x, y, t, p, num_bins=bins, height=h, width=w,
+                             t_range=(0.0, 1.0))
+    got = pallas_voxel.voxel_grid_signed_pallas(
+        x, y, t, p, num_bins=bins, height=h, width=w, t_range=(0.0, 1.0),
+        chunk=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
