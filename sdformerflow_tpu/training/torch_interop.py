@@ -146,6 +146,16 @@ def build_rules(num_stages=4, max_depth=8, num_res=2, num_encoders=4,
             R += _norm_rule(f"{a_t}.proj_bn", f"{a_f}/proj_bn")
             for s in ("sn2_q", "attn_sn", "proj_sn"):
                 R += _neuron_rules(f"{a_t}.{s}", f"{a_f}/{s}")
+            # swinv2 (Hamming) attention: logit_scale + cpb MLP
+            # (Spiking_swin_transformer3D.py:209-215)
+            R += [(f"{a_t}.logit_scale", "params", f"{a_f}/logit_scale",
+                   "id"),
+                  (f"{a_t}.cpb_mlp.0.weight", "params",
+                   f"{a_f}/cpb_fc1/kernel", "linear"),
+                  (f"{a_t}.cpb_mlp.0.bias", "params", f"{a_f}/cpb_fc1/bias",
+                   "id"),
+                  (f"{a_t}.cpb_mlp.2.weight", "params",
+                   f"{a_f}/cpb_fc2/kernel", "linear")]
             # MLP
             m_t, m_f = f"{b_t}.mlp", f"{b_f}/mlp"
             R += [(f"{m_t}.fc1.weight", "params", f"{m_f}/fc1/kernel",
