@@ -143,11 +143,20 @@ def psn_neuron(x_seq, weight, bias, *, surrogate_fn: SurrogateFn = atan_spike,
     (measured at >50% of a full SDformerFlow forward).
     """
     T = x_seq.shape[0]
-    # time-minor contraction probe: x[..., T] @ W.T keeps the contraction on
-    # the minor axis; moveaxis is a layout assignment XLA can fold
-    xm = jnp.moveaxis(x_seq, 0, -1)
-    hm = xm @ weight.T + bias.reshape((T,))
-    h = jnp.moveaxis(hm, -1, 0)
+    # stage the contraction as [..., T, C]: the conv layouts around neuron
+    # sites are physically (..., T, C)-ordered ({3,0,2,1}), so these
+    # transposes are layout relabels and the T-contraction lands on the
+    # sublane axis (MXU-friendly)
+    nd = x_seq.ndim
+    if nd >= 2:
+        perm_in = tuple(range(1, nd - 1)) + (0, nd - 1)
+        xm = jnp.transpose(x_seq, perm_in)            # [..., T, C]
+        hm = (jnp.einsum("ts,...sc->...tc", weight, xm)
+              + bias.reshape((T, 1)))
+        perm_out = (nd - 2,) + tuple(range(0, nd - 2)) + (nd - 1,)
+        h = jnp.transpose(hm, perm_out)               # [T, ..., C]
+    else:
+        h = weight @ x_seq + bias.reshape((T,) + (1,) * (nd - 1))
     spike = surrogate_fn(h)
     if return_v:
         return spike, h  # PSN "membrane" = pre-spike potential h

@@ -114,7 +114,14 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
         crop=loader.get("crop"),
         max_drop_rate=loader.get("max_drop_rate", 0.6),
         rotation_degrees=loader.get("rotation_degrees", (0.0, 0.0)))
-    aug_jit = jax.jit(augment)
+    # one fused dispatch per step: key derivation + augmentation (eager
+    # fold_in costs a tunnel round-trip per call)
+    def _prep(rng_, step_, chunk, label, mask):
+        key = jax.random.fold_in(rng_, step_)
+        ev, fl, mk = augment(key, chunk, label, mask)
+        return ev, fl, mk, jax.random.fold_in(key, 1)
+
+    prep_jit = jax.jit(_prep)
 
     crop = loader.get("crop")
     best_loss = math.inf
@@ -126,12 +133,11 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
         batches = batch_iterator(train_dataset, batch_size, shuffle=True,
                                  seed=loader.get("seed", 0) + epoch)
         for batch in prefetch_to_device(batches, mesh):
-            key = jax.random.fold_in(rng, global_step)
-            ev, fl, mk = aug_jit(key, batch["chunk"], batch["label"],
-                                 batch["mask"])
+            ev, fl, mk, step_key = prep_jit(
+                rng, global_step, batch["chunk"], batch["label"],
+                batch["mask"])
             batch = {"chunk": ev, "label": fl, "mask": mk}
-            state, metrics = train_step(state, batch,
-                                        jax.random.fold_in(key, 1))
+            state, metrics = train_step(state, batch, step_key)
             loss = float(metrics["loss"])
             if math.isnan(loss):
                 raise RuntimeError(f"NaN loss at step {global_step}")

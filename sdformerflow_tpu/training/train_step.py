@@ -41,14 +41,22 @@ class TrainState:
 
     @classmethod
     def create(cls, *, apply_fn, params, batch_stats, tx):
+        # jitted: eager optax init is ~1k tiny zeros_like dispatches, which
+        # is minutes through the axon tunnel
+        opt_state = jax.jit(tx.init)(params)
         return cls(step=0, params=params, batch_stats=batch_stats,
-                   opt_state=tx.init(params), apply_fn=apply_fn, tx=tx)
+                   opt_state=opt_state, apply_fn=apply_fn, tx=tx)
 
 
 def create_train_state(model, tx, sample_chunk, rng, train: bool = True):
-    """Initialize model variables + optimizer state."""
+    """Initialize model variables + optimizer state.
+
+    The init is jitted: eager ``model.init`` dispatches thousands of tiny
+    ops, which through the axon tunnel costs minutes per launch (observed as
+    a flood of jit__take/jit__einsum compile-cache entries)."""
     init_rngs = {"params": rng, "droppath": jax.random.fold_in(rng, 1)}
-    variables = model.init(init_rngs, sample_chunk, False)
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, False))(init_rngs, sample_chunk)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
