@@ -171,3 +171,69 @@ def psn_spike(x_seq, weight, bias, *, alpha=2.0, scale=None, shift=None):
     zero = jnp.zeros((1, 1), x.dtype) if shift is None else shift
     out = fused_affine_psn(x, weight, bias, one, zero, alpha)
     return out.reshape(x_seq.shape)
+
+
+# ---------------------------------------------------------------------------
+# v2 (round 2): layout-native [T, M, C] kernel. MEASURED NEGATIVE RESULT:
+# 3.5 ms standalone vs 1.4 ms XLA at the head-site shape, and the full
+# patch embed REGRESSES 7.75 -> 11.4 ms with it integrated — the unrolled
+# T^2 FMA loop is VPU-bound (~100 vector passes per block) while XLA's
+# einsum lowering uses the MXU. A winning kernel would need the MXU for
+# the T-mix on native-layout blocks, which Mosaic's 2-D dot constraint
+# blocks (rank-3 contraction over the leading axis / in-kernel
+# sublane-lane merges are unsupported). Kept off every default path;
+# see PERF_NOTES.md.
+
+import numpy as _np
+
+
+def _psn_tm_kernel(w_ref, b_ref, x_ref, o_ref, *, T: int):
+    x = x_ref[...]                                   # [T, bm, bc] f32/bf16
+    xf = x.astype(jnp.float32)
+    for t in range(T):
+        h = b_ref[t, 0]
+        acc = None
+        for s in range(T):
+            term = xf[s] * w_ref[t, s]
+            acc = term if acc is None else acc + term
+        h = acc + h
+        o_ref[t] = (h >= 0.0).astype(o_ref.dtype)
+
+
+def psn_spike_tm(x_seq, weight, bias, *, block_m=512, block_c=None):
+    """PSN + heaviside over time-major [T, ..., C] without relayouts.
+
+    Blocks the [T, M, C] view on (M, C); each block computes the [T, T]
+    time-mix with an unrolled FMA loop (T <= 16) and writes 0/1 spikes in
+    the input's dtype/layout. Falls back to the XLA einsum when the
+    geometry does not block evenly.
+    """
+    T = x_seq.shape[0]
+    C = x_seq.shape[-1]
+    mid = x_seq.shape[1:-1]
+    M = int(_np.prod(mid)) if mid else 1
+    if block_c is None:
+        block_c = C if C * block_m * T * 4 * 2 <= (8 << 20) else 128
+    if M % block_m or C % block_c:
+        # fallback: XLA path (ops/neurons.psn_neuron)
+        from . import neurons
+        return neurons.psn_neuron(x_seq, weight, bias)
+
+    x = x_seq.reshape(T, M, C)
+    grid = (M // block_m, C // block_c)
+    out = pl.pallas_call(
+        functools.partial(_psn_tm_kernel, T=T),
+        out_shape=jax.ShapeDtypeStruct((T, M, C), x_seq.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, T), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, block_m, block_c), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, block_m, block_c), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+    )(weight.astype(jnp.float32), bias.reshape(T, 1).astype(jnp.float32), x)
+    return out.reshape(x_seq.shape)

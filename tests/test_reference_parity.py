@@ -355,6 +355,60 @@ def test_ann_sttflownet_swinv2_forward_parity(f64):
     _run_ab(f64, ref_ann.STTFlowNet, model_cfg, swin_cfg, x, family="ann")
 
 
+def test_north_star_aee_parity(f64):
+    """The BASELINE.json north star, closed end-to-end: run the reference
+    model + the reference's OWN AEE metric (loss/flow_supervised.py:108-149)
+    and this framework's model + losses.aee_metrics on identical tensors
+    with converted weights; AEE must agree far inside the 1% target."""
+    import importlib
+    torch = f64
+    ref_snn, _ = import_reference_models()
+    fs = importlib.import_module("loss.flow_supervised")
+    from sdformerflow_tpu import losses as L
+    from refharness import sj_functional
+
+    m, s = _snn_cfg("MS_SpikingformerFlowNet_en4", "psn",
+                    (1, 1, 1, 1), (2, 2, 4, 4),
+                    "MS_PED_Spiking_PatchEmbed_Conv_sfn", (96, 96))
+    functional = sj_functional()
+    torch.manual_seed(0)
+    tmodel = ref_snn.MS_SpikingformerFlowNet_en4(m.copy(), s.copy())
+    tmodel.init_weights()
+    functional.reset_net(tmodel)
+    functional.set_step_mode(tmodel, "m")
+    tmodel.double()
+    tmodel.eval()
+
+    rngs = np.random.RandomState(11)
+    x_np = rngs.rand(1, 10, 2, 96, 96)
+    label = rngs.randn(1, 2, 96, 96) * 3.0
+    mask = (rngs.rand(1, 96, 96) > 0.3).astype(np.float64)
+    with torch.no_grad():
+        t_flow = tmodel(torch.from_numpy(x_np))["flow"][-1]
+        t_aee, t_pe1, t_pe2, t_pe3, t_out = fs.AEE(
+            t_flow, torch.from_numpy(label), torch.from_numpy(mask),
+            flow_scaling=1.0).forward()
+
+    cfg = {"model": m, "swin_transformer": s, "loader": {}}
+    m_cfg, swin, spiking = build_configs(cfg)
+    fmodel = get_model(m["name"], m_cfg, swin, spiking)
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params, bs, _ = TI.convert_state_dict(sd, num_stages=4, max_depth=1,
+                                          num_encoders=4)
+    f_flow = fmodel.apply({"params": params, "batch_stats": bs},
+                          jnp.asarray(x_np), False)["flow"][-1]
+    f_metrics = L.aee_metrics(f_flow, jnp.asarray(label), jnp.asarray(mask),
+                              flow_scaling=1.0)
+
+    t_aee_v = float(t_aee.mean())
+    f_aee_v = float(np.asarray(f_metrics["AEE"]).mean())
+    assert t_aee_v > 0.1  # non-vacuous
+    rel = abs(t_aee_v - f_aee_v) / t_aee_v
+    assert rel < 1e-9, f"AEE {f_aee_v} vs reference {t_aee_v} (rel {rel:.2e})"
+    for k, tv in (("PE1", t_pe1), ("PE3", t_pe3), ("outlier", t_out)):
+        assert abs(float(np.asarray(f_metrics[k])) - float(tv)) < 1e-9
+
+
 # ---------------------------------------------------------------------------
 # Neuron-module-level A/B against the reference's OWN neuron classes
 # (SLTTLIFNode / GatedLIFNode / PSN live in the reference file itself, so
