@@ -50,8 +50,16 @@ class EventSlicer:
     def __init__(self, h5f):
         self.h5f = h5f
         self.events = {k: h5f[f"events/{k}"] for k in ("p", "x", "y", "t")}
-        self.ms_to_idx = np.asarray(h5f["ms_to_idx"], np.int64)
         self.t_offset = int(h5f["t_offset"][()]) if "t_offset" in h5f else 0
+        if "ms_to_idx" in h5f:
+            self.ms_to_idx = np.asarray(h5f["ms_to_idx"], np.int64)
+        else:
+            # rebuild the index with the C++ single-pass scan (the
+            # reference's numba compute_ms_to_idx equivalent)
+            from sdformerflow_tpu import native
+            t_all = np.asarray(self.events["t"], np.int64)
+            n_ms = int(t_all[-1] // 1000) + 2 if t_all.size else 1
+            self.ms_to_idx = native.compute_ms_to_idx(t_all, n_ms)
 
     def get_events(self, t_start_us: int, t_end_us: int):
         t_start_us -= self.t_offset

@@ -105,7 +105,7 @@ class DSECEventListDataset:
         return 1 << max(int(n) - 1, 1).bit_length()
 
     def __getitem__(self, idx):
-        from ..ops.voxel import pad_events
+        from .. import native
         target = self.files[idx][0]
         mask = np.load(os.path.join(self.mask_path, target))
         label = np.load(os.path.join(self.flow_path, target))
@@ -113,11 +113,13 @@ class DSECEventListDataset:
                      allow_pickle=True)
         d = ev[0] if isinstance(ev, np.ndarray) and ev.dtype == object else ev
         n = min(len(d["x"]), self.max_events)
-        x, y, t, p, valid = pad_events(
-            np.asarray(d["x"][:n], np.float32),
-            np.asarray(d["y"][:n], np.float32),
-            np.asarray(d["t"][:n], np.float32),
-            np.asarray(d["p"][:n], np.float32),
+        # C++ pack (numpy fallback inside): pad/truncate into a fixed
+        # bucket; t is rebased to the window start (voxelization re-derives
+        # t_range from the valid span, so rebasing is semantics-neutral and
+        # keeps float32 exact at us resolution)
+        x, y, t, p, valid = native.pack_window(
+            np.asarray(d["x"][:n]), np.asarray(d["y"][:n]),
+            np.asarray(d["t"][:n]), np.asarray(d["p"][:n]),
             min(self._bucket(n), self.max_events))
         events = {"x": x, "y": y, "t": t, "p": p, "valid": valid}
         return events, mask, label.astype(np.float32)

@@ -1,0 +1,95 @@
+"""C++ event-ops (sdformerflow_tpu/native) vs numpy reference semantics.
+
+Parity target: the reference's numba loader internals
+(/root/reference/DSEC_dataloader/event_representations.py:174-232).
+"""
+
+import numpy as np
+import pytest
+
+from sdformerflow_tpu import native
+
+
+@pytest.fixture(scope="module")
+def stream():
+    rng = np.random.default_rng(0)
+    n = 200_000
+    t = np.sort(rng.integers(0, 5_000_000, n)).astype(np.int64)  # 5 s in us
+    x = rng.integers(0, 640, n).astype(np.uint16)
+    y = rng.integers(0, 480, n).astype(np.uint16)
+    p = rng.integers(0, 2, n).astype(np.uint8)
+    return x, y, t, p
+
+
+def test_native_builds():
+    # the environment ships g++; the native path must actually be active
+    assert native.available()
+
+
+def test_compute_ms_to_idx_matches_searchsorted(stream):
+    _, _, t, _ = stream
+    n_ms = 5_001
+    got = native.compute_ms_to_idx(t, n_ms)
+    want = np.searchsorted(t, np.arange(n_ms, dtype=np.int64) * 1000,
+                           side="left")
+    np.testing.assert_array_equal(got, want)
+    # reference invariant: t[ms_to_idx[ms]] >= ms*1000 > t[ms_to_idx[ms]-1]
+    ms = 1234
+    i = got[ms]
+    assert t[i] >= ms * 1000
+    assert i == 0 or t[i - 1] < ms * 1000
+
+
+def test_slice_windows_matches_searchsorted(stream):
+    _, _, t, _ = stream
+    bounds = np.arange(0, 5_000_001, 100_000, dtype=np.int64)  # 50 windows
+    lo, hi = native.slice_windows(t, bounds)
+    idx = np.searchsorted(t, bounds, side="left")
+    np.testing.assert_array_equal(lo, idx[:-1])
+    np.testing.assert_array_equal(hi, idx[1:])
+    # windows tile the stream
+    assert lo[0] == np.searchsorted(t, 0)
+    np.testing.assert_array_equal(hi[:-1], lo[1:])
+
+
+def test_pack_window_dsec_dtypes(stream):
+    x, y, t, p = stream
+    n = 1000
+    cap = 1 << 11
+    ox, oy, ot, op, valid = native.pack_window(
+        x[:n], y[:n], t[:n], p[:n], cap)
+    assert valid[:n].all() and not valid[n:].any()
+    np.testing.assert_array_equal(ox[:n], x[:n].astype(np.float32))
+    np.testing.assert_array_equal(oy[:n], y[:n].astype(np.float32))
+    np.testing.assert_array_equal(op[:n], p[:n].astype(np.float32))
+    np.testing.assert_array_equal(
+        ot[:n], (t[:n] - t[0]).astype(np.float32))
+    assert (ox[n:] == 0).all() and (ot[n:] == 0).all()
+
+
+def test_pack_window_truncates_and_f32_path(stream):
+    x, y, t, p = stream
+    cap = 512
+    n = 1000  # > cap: truncation
+    ox, oy, ot, op, valid = native.pack_window(
+        x[:n].astype(np.float32), y[:n].astype(np.float32),
+        t[:n].astype(np.float32), p[:n].astype(np.float32), cap, t0=0.0)
+    assert valid.all()
+    np.testing.assert_array_equal(ox, x[:cap].astype(np.float32))
+    np.testing.assert_allclose(ot, t[:cap].astype(np.float32))
+
+
+def test_numpy_fallback_matches_native(stream, monkeypatch):
+    x, y, t, p = stream
+    n, cap = 300, 512
+    want = native.pack_window(x[:n], y[:n], t[:n], p[:n], cap)
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)
+    assert not native.available()
+    got = native.pack_window(x[:n], y[:n], t[:n], p[:n], cap)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
+    lo_w, hi_w = native.slice_windows(
+        t, np.arange(0, 5_000_001, 500_000, dtype=np.int64))
+    monkeypatch.setattr(native, "_TRIED", False)
+    monkeypatch.setattr(native, "_LIB", None)
