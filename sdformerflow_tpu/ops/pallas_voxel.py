@@ -159,7 +159,51 @@ def voxel_grid_signed_pallas(x, y, t, p, *, num_bins, height, width,
     ev = jnp.pad(ev, ((0, 0), (0, chunk)))       # DMA tail slack
     partial = _voxel_rows_pallas(ev, offsets, num_rows=height,
                                  num_bins=num_bins, width=width, chunk=chunk)
+    return _fold_partial(partial, num_bins)
+
+
+def _fold_partial(partial, num_bins):
     # fold dy: out[t, y] = partial[y, t, 0] + partial[y-1, t, 1]
     own = partial[:, :num_bins, 0]               # [H, T, W]
     below = jnp.pad(partial[:-1, :num_bins, 1], ((1, 0), (0, 0), (0, 0)))
     return (own + below).transpose(1, 0, 2)      # [T, H, W]
+
+
+def voxel_grid_polarities_pallas(x, y, t, p, *, num_bins, height, width,
+                                 valid=None, t_range=None,
+                                 chunk=EVENT_CHUNK):
+    """Per-polarity trilinear voxel grid [num_bins, 2, H, W] (channel 0 =
+    positive) — the Pallas counterpart of ops.voxel.voxel_grid_polarities
+    (event_representations.py:279-313). One shared sort, two accumulation
+    passes with polarity-masked weights."""
+    from .voxel import _t_norm
+
+    t_n = _t_norm(t.astype(jnp.float32), num_bins, t_range)
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    pos = p.astype(jnp.float32) == 1.0
+    base = jnp.ones(x.shape, jnp.float32)
+    if valid is not None:
+        base = jnp.where(valid, base, 0.0)
+    in_range = ((xf >= 0) & (xf <= width - 1) & (yf >= 0)
+                & (yf <= height - 1))
+    base = jnp.where(in_range, base, 0.0)
+    v_pos = jnp.where(pos, base, 0.0)
+    v_neg = jnp.where(pos, 0.0, base)
+    y_row = jnp.clip(jnp.trunc(yf).astype(jnp.int32), 0, height - 1)
+
+    key = y_row.astype(jnp.float32)
+    _, xs, ys, ts_, vp, vn = jax.lax.sort(
+        (key, xf, yf, t_n, v_pos, v_neg), num_keys=1)
+    y_row_sorted = jnp.trunc(ys).astype(jnp.int32)
+    offsets = jnp.searchsorted(y_row_sorted, jnp.arange(height + 1),
+                               method="scan_unrolled").astype(jnp.int32)
+
+    grids = []
+    for vv in (vp, vn):
+        ev = jnp.pad(jnp.stack([xs, ys, ts_, vv]), ((0, 0), (0, chunk)))
+        partial = _voxel_rows_pallas(ev, offsets, num_rows=height,
+                                     num_bins=num_bins, width=width,
+                                     chunk=chunk)
+        grids.append(_fold_partial(partial, num_bins))
+    return jnp.stack(grids, axis=1)              # [T, 2, H, W]

@@ -79,3 +79,20 @@ def test_pallas_edge_coordinates():
         chunk=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_polarities_matches_xla_oracle():
+    from sdformerflow_tpu.ops.voxel import voxel_grid_polarities
+    n, h, w, bins = 1777, 20, 28, 4
+    x, y, t, p, valid = _events(n, h, w, bins, seed=5, valid_frac=0.8)
+    want = voxel_grid_polarities(x, y, t, p, num_bins=bins, height=h,
+                                 width=w, valid=valid, t_range=(0.0, 1.0))
+    got = pallas_voxel.voxel_grid_polarities_pallas(
+        x, y, t, p, num_bins=bins, height=h, width=w, valid=valid,
+        t_range=(0.0, 1.0), chunk=128)
+    assert got.shape == want.shape == (bins, 2, h, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    # both polarity channels carry mass
+    assert float(jnp.abs(want[:, 0]).sum()) > 0
+    assert float(jnp.abs(want[:, 1]).sum()) > 0
