@@ -125,6 +125,40 @@ def _voxel_rows_pallas(ev_sorted, offsets, *, num_rows, num_bins, width,
     )(offsets, ev_sorted)
 
 
+def _accumulate_core(xf, yf, t_n, values, *, num_bins, height, width,
+                     chunk):
+    """Shared sorted-dense accumulation: sort by y-row once, run the row
+    kernel once per value column, fold. ``values`` is a tuple of [N] weight
+    arrays (already masked); returns one [num_bins, H, W] grid per column.
+    The same core serves trilinear voxels, per-polarity voxels, the
+    time-bilinear v2 grid, and per-bin count frames — integer coordinates
+    make the corresponding corner weights vanish exactly."""
+    y_row = jnp.clip(jnp.trunc(yf).astype(jnp.int32), 0, height - 1)
+    key = y_row.astype(jnp.float32)
+    sorted_all = jax.lax.sort((key, xf, yf, t_n) + tuple(values),
+                              num_keys=1)
+    xs, ys, ts_ = sorted_all[1], sorted_all[2], sorted_all[3]
+    vs_sorted = sorted_all[4:]
+    y_row_sorted = jnp.trunc(ys).astype(jnp.int32)
+    offsets = jnp.searchsorted(y_row_sorted, jnp.arange(height + 1),
+                               method="scan_unrolled").astype(jnp.int32)
+    grids = []
+    for vv in vs_sorted:
+        ev = jnp.pad(jnp.stack([xs, ys, ts_, vv]), ((0, 0), (0, chunk)))
+        partial = _voxel_rows_pallas(ev, offsets, num_rows=height,
+                                     num_bins=num_bins, width=width,
+                                     chunk=chunk)
+        grids.append(_fold_partial(partial, num_bins))
+    return grids
+
+
+def _range_mask(xf, yf, width, height, valid):
+    m = ((xf >= 0) & (xf <= width - 1) & (yf >= 0) & (yf <= height - 1))
+    if valid is not None:
+        m = m & valid
+    return m
+
+
 def voxel_grid_signed_pallas(x, y, t, p, *, num_bins, height, width,
                              valid=None, t_range=None, chunk=EVENT_CHUNK):
     """Drop-in replacement for ops.voxel.voxel_grid_signed on TPU.
@@ -135,31 +169,14 @@ def voxel_grid_signed_pallas(x, y, t, p, *, num_bins, height, width,
     """
     from .voxel import _t_norm
 
-    n = x.shape[0]
     t_n = _t_norm(t.astype(jnp.float32), num_bins, t_range)
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     value = 2.0 * p.astype(jnp.float32) - 1.0
-    if valid is not None:
-        value = jnp.where(valid, value, 0.0)
-    # out-of-range guard (parity masks; valid data is already in range)
-    in_range = ((xf >= 0) & (xf <= width - 1) & (yf >= 0)
-                & (yf <= height - 1))
-    value = jnp.where(in_range, value, 0.0)
-    y_row = jnp.clip(jnp.trunc(yf).astype(jnp.int32), 0, height - 1)
-
-    key = y_row.astype(jnp.float32)
-    _, xs, ys, ts_, vs = jax.lax.sort(
-        (key, xf, yf, t_n, value), num_keys=1)
-    y_row_sorted = jnp.trunc(ys).astype(jnp.int32)
-    offsets = jnp.searchsorted(y_row_sorted, jnp.arange(height + 1),
-                               method="scan_unrolled").astype(jnp.int32)
-
-    ev = jnp.stack([xs, ys, ts_, vs])            # [4, N]
-    ev = jnp.pad(ev, ((0, 0), (0, chunk)))       # DMA tail slack
-    partial = _voxel_rows_pallas(ev, offsets, num_rows=height,
-                                 num_bins=num_bins, width=width, chunk=chunk)
-    return _fold_partial(partial, num_bins)
+    value = jnp.where(_range_mask(xf, yf, width, height, valid), value, 0.0)
+    (grid,) = _accumulate_core(xf, yf, t_n, (value,), num_bins=num_bins,
+                               height=height, width=width, chunk=chunk)
+    return grid
 
 
 def _fold_partial(partial, num_bins):
@@ -182,28 +199,56 @@ def voxel_grid_polarities_pallas(x, y, t, p, *, num_bins, height, width,
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     pos = p.astype(jnp.float32) == 1.0
-    base = jnp.ones(x.shape, jnp.float32)
-    if valid is not None:
-        base = jnp.where(valid, base, 0.0)
-    in_range = ((xf >= 0) & (xf <= width - 1) & (yf >= 0)
-                & (yf <= height - 1))
-    base = jnp.where(in_range, base, 0.0)
+    base = jnp.where(_range_mask(xf, yf, width, height, valid),
+                     jnp.ones(x.shape, jnp.float32), 0.0)
     v_pos = jnp.where(pos, base, 0.0)
     v_neg = jnp.where(pos, 0.0, base)
-    y_row = jnp.clip(jnp.trunc(yf).astype(jnp.int32), 0, height - 1)
-
-    key = y_row.astype(jnp.float32)
-    _, xs, ys, ts_, vp, vn = jax.lax.sort(
-        (key, xf, yf, t_n, v_pos, v_neg), num_keys=1)
-    y_row_sorted = jnp.trunc(ys).astype(jnp.int32)
-    offsets = jnp.searchsorted(y_row_sorted, jnp.arange(height + 1),
-                               method="scan_unrolled").astype(jnp.int32)
-
-    grids = []
-    for vv in (vp, vn):
-        ev = jnp.pad(jnp.stack([xs, ys, ts_, vv]), ((0, 0), (0, chunk)))
-        partial = _voxel_rows_pallas(ev, offsets, num_rows=height,
-                                     num_bins=num_bins, width=width,
-                                     chunk=chunk)
-        grids.append(_fold_partial(partial, num_bins))
+    grids = _accumulate_core(xf, yf, t_n, (v_pos, v_neg), num_bins=num_bins,
+                             height=height, width=width, chunk=chunk)
     return jnp.stack(grids, axis=1)              # [T, 2, H, W]
+
+
+def events_to_voxel_grid_v2_pallas(x, y, t, p, *, num_bins, height, width,
+                                   valid=None, t_range=None, normalize=True,
+                                   chunk=EVENT_CHUNK):
+    """Pallas counterpart of ops.voxel.events_to_voxel_grid_v2 (e2vid-style:
+    bilinear in time only, x/y truncated — event_representations.py:315-368).
+    Truncated integer x/y make the spatial corner weights collapse to a
+    single cell, so the trilinear core computes exactly the bilinear-time
+    sum."""
+    from .voxel import _t_norm, normalize_nonzero_std
+
+    t_n = _t_norm(t.astype(jnp.float32), num_bins, t_range)
+    xf = jnp.trunc(x.astype(jnp.float32))
+    yf = jnp.trunc(y.astype(jnp.float32))
+    pols = jnp.where(p.astype(jnp.float32) == 0, -1.0,
+                     p.astype(jnp.float32))
+    pols = jnp.where(_range_mask(xf, yf, width, height, valid), pols, 0.0)
+    (grid,) = _accumulate_core(xf, yf, t_n, (pols,), num_bins=num_bins,
+                               height=height, width=width, chunk=chunk)
+    if normalize:
+        grid = normalize_nonzero_std(grid)
+    return grid
+
+
+def events_to_frames_pallas(x, y, t, p, *, num_frames, height, width,
+                            valid=None, t_range=None, chunk=EVENT_CHUNK):
+    """Pallas counterpart of ops.voxel.events_to_frames: per-bin bilinear
+    (x, y) ON/OFF count frames [num_frames, 2, H, W]
+    (event_representations.py:45-76). The frame index is integral, so the
+    temporal corner weight collapses; x/y keep their bilinear spread."""
+    from .voxel import _t_norm, _trunc_int
+
+    t_n01 = _t_norm(t.astype(jnp.float32), 2, t_range)   # [0, 1]
+    ts = _trunc_int((num_frames - 1) * t_n01).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    pos = p.astype(jnp.float32) == 1.0
+    base = jnp.where(_range_mask(xf, yf, width, height, valid),
+                     jnp.ones(x.shape, jnp.float32), 0.0)
+    v_on = jnp.where(pos, base, 0.0)
+    v_off = jnp.where(pos, 0.0, base)
+    grids = _accumulate_core(xf, yf, ts, (v_on, v_off),
+                             num_bins=num_frames, height=height,
+                             width=width, chunk=chunk)
+    return jnp.stack(grids, axis=1)              # [F, 2, H, W]

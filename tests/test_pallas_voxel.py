@@ -96,3 +96,34 @@ def test_pallas_polarities_matches_xla_oracle():
     # both polarity channels carry mass
     assert float(jnp.abs(want[:, 0]).sum()) > 0
     assert float(jnp.abs(want[:, 1]).sum()) > 0
+
+
+def test_pallas_v2_grid_matches_xla_oracle():
+    from sdformerflow_tpu.ops.voxel import events_to_voxel_grid_v2
+    n, h, w, bins = 1555, 18, 26, 5
+    x, y, t, p, valid = _events(n, h, w, bins, seed=6, valid_frac=0.85)
+    for norm in (False, True):
+        want = events_to_voxel_grid_v2(
+            x, y, t, p, num_bins=bins, height=h, width=w, valid=valid,
+            t_range=(0.0, 1.0), normalize=norm)
+        got = pallas_voxel.events_to_voxel_grid_v2_pallas(
+            x, y, t, p, num_bins=bins, height=h, width=w, valid=valid,
+            t_range=(0.0, 1.0), normalize=norm, chunk=128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+    assert float(jnp.abs(want).sum()) > 0
+
+
+def test_pallas_frames_matches_xla_oracle():
+    from sdformerflow_tpu.ops.voxel import events_to_frames
+    n, h, w, frames = 1333, 16, 22, 6
+    x, y, t, p, valid = _events(n, h, w, frames, seed=7, valid_frac=0.9)
+    want = events_to_frames(x, y, t, p, num_frames=frames, height=h,
+                            width=w, valid=valid, t_range=(0.0, 1.0))
+    got = pallas_voxel.events_to_frames_pallas(
+        x, y, t, p, num_frames=frames, height=h, width=w, valid=valid,
+        t_range=(0.0, 1.0), chunk=128)
+    assert got.shape == want.shape == (frames, 2, h, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    assert float(jnp.abs(want).sum()) > 0
