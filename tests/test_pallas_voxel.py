@@ -127,3 +127,27 @@ def test_pallas_frames_matches_xla_oracle():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
     assert float(jnp.abs(want).sum()) > 0
+
+
+def test_pallas_degenerate_distributions():
+    """All events concentrated in one row (max chunks in one grid step) and
+    a fully-invalid window (empty grid)."""
+    h, w, bins = 12, 16, 3
+    n = 700
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.uniform(0, w - 1, n).astype(np.float32))
+    y = jnp.full((n,), 5.25, jnp.float32)  # single row
+    t = jnp.asarray(np.sort(rng.uniform(0, 1, n)).astype(np.float32))
+    p = jnp.asarray(rng.integers(0, 2, n).astype(np.float32))
+    want = voxel_grid_signed(x, y, t, p, num_bins=bins, height=h, width=w,
+                             t_range=(0.0, 1.0))
+    got = pallas_voxel.voxel_grid_signed_pallas(
+        x, y, t, p, num_bins=bins, height=h, width=w, t_range=(0.0, 1.0),
+        chunk=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    # fully masked -> zero grid
+    zero = pallas_voxel.voxel_grid_signed_pallas(
+        x, y, t, p, num_bins=bins, height=h, width=w,
+        valid=jnp.zeros((n,), bool), t_range=(0.0, 1.0), chunk=128)
+    assert float(jnp.abs(zero).sum()) == 0.0
