@@ -168,8 +168,13 @@ def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
 
 def make_eval_step(*, encoding="voxel", polarity=True, norm_input="minmax",
                    spike_th=None, use_batch_stats=False, compute_dtype=None,
-                   collect_spike_rates=False):
+                   collect_spike_rates=False, voxelize=None):
     """Build the jitted eval step returning the finest flow prediction.
+
+    With ``voxelize=dict(num_bins, height, width)`` the step accepts a dict
+    of raw padded event buffers (x/y/t/p/valid, [B, N]) instead of a voxel
+    chunk and rasterizes on-device (Pallas on TPU) — symmetric with
+    make_train_step's events path.
 
     ``use_batch_stats=True`` reproduces the reference quirk of validating in
     train mode when batch_size == 1 (batch statistics instead of running
@@ -187,6 +192,8 @@ def make_eval_step(*, encoding="voxel", polarity=True, norm_input="minmax",
     """
 
     def eval_step(state: TrainState, chunk):
+        if voxelize is not None and isinstance(chunk, dict):
+            chunk = voxelize_batch(chunk, **voxelize)
         x = encode_input(chunk, encoding=encoding, polarity=polarity,
                          norm_input=norm_input, spike_th=spike_th)
         params, bs = state.params, state.batch_stats

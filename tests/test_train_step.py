@@ -106,3 +106,24 @@ def test_data_parallel_mesh():
     # params remain replicated after the step
     leaf = jax.tree_util.tree_leaves(new_state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_eval_step_from_raw_events(state_and_steps):
+    """Eval path symmetric with training: raw padded event buffers are
+    voxelized on-device inside the jitted eval step."""
+    from sdformerflow_tpu.training.train_step import make_eval_step
+    state, _, _ = state_and_steps
+    rng = np.random.default_rng(5)
+    B, N, H, W = 2, 1 << 10, 16, 16
+    events = {
+        "x": jnp.asarray(rng.uniform(0, W - 1, (B, N)), jnp.float32),
+        "y": jnp.asarray(rng.uniform(0, H - 1, (B, N)), jnp.float32),
+        "t": jnp.asarray(np.sort(rng.uniform(0, 1, (B, N)), axis=1),
+                         jnp.float32),
+        "p": jnp.asarray(rng.integers(0, 2, (B, N)), jnp.float32),
+        "valid": jnp.asarray(rng.uniform(size=(B, N)) < 0.9),
+    }
+    eval_step = make_eval_step(voxelize=dict(num_bins=4, height=H, width=W))
+    flows = eval_step(state, events)
+    assert flows[-1].shape == (B, 2, H, W)
+    assert np.isfinite(np.asarray(flows[-1])).all()
