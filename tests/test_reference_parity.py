@@ -137,10 +137,13 @@ def test_ms_en4_psn_forward_parity(f64):
 
 def test_ms_en4_if_forward_parity(f64):
     """Same architecture with stateful IF neurons (exercises the
-    charge/fire/reset scan at every site incl. the fixed deconv)."""
+    charge/fire/reset scan at every site incl. the fixed deconv) and a
+    depth-2 stage, covering MS blocks with SHIFTED windows — whose QK
+    attention deliberately ignores the shift mask (reference quirk,
+    Spiking_swin_transformer3D.py:698-703)."""
     ref_snn, _ = import_reference_models()
     m, s = _snn_cfg("MS_SpikingformerFlowNet_en4", "if",
-                    (1, 1, 1, 1), (2, 2, 4, 4),
+                    (1, 2, 1, 1), (2, 2, 4, 4),
                     "MS_PED_Spiking_PatchEmbed_Conv_sfn", (96, 96))
     x = np.random.RandomState(2).rand(1, 10, 2, 96, 96).astype(np.float64)
     _run_ab(f64, ref_snn.MS_SpikingformerFlowNet_en4, m, s, x)
