@@ -122,7 +122,8 @@ def pack_window(x, y, t, p, cap: int, t0=None):
     op = np.empty(cap, np.float32)
     valid = np.empty(cap, np.uint8)
     lib = _build_and_load()
-    if lib is not None and x.dtype == np.uint16 and t.dtype == np.int64:
+    if (lib is not None and x.dtype == np.uint16 and y.dtype == np.uint16
+            and t.dtype == np.int64 and p.dtype in (np.uint8, np.bool_)):
         t0i = int(t[0]) if (t0 is None and n) else int(t0 or 0)
         lib.pack_window(
             _ptr(np.ascontiguousarray(x), ctypes.c_uint16),
@@ -137,13 +138,18 @@ def pack_window(x, y, t, p, cap: int, t0=None):
     if lib is not None:
         xf = np.ascontiguousarray(x, np.float32)
         yf = np.ascontiguousarray(y, np.float32)
-        tf = np.ascontiguousarray(t, np.float32)
         pf = np.ascontiguousarray(p, np.float32)
-        t0f = float(tf[0]) if (t0 is None and n) else float(t0 or 0.0)
+        # Rebase t BEFORE narrowing to f32: absolute int64/f64 microsecond
+        # stamps (~1e9+) lose microsecond resolution in f32, so subtract t0
+        # in f64 first (matches the numpy fallback) and hand the kernel
+        # already-rebased times with t0 = 0.
+        t64 = np.asarray(t, np.float64)
+        off = float(t64[0]) if (t0 is None and n) else float(t0 or 0.0)
+        tf = np.ascontiguousarray(t64 - off, np.float32)
         lib.pack_window_f32(
             _ptr(xf, ctypes.c_float), _ptr(yf, ctypes.c_float),
             _ptr(tf, ctypes.c_float), _ptr(pf, ctypes.c_float),
-            n, t0f, cap,
+            n, 0.0, cap,
             _ptr(ox, ctypes.c_float), _ptr(oy, ctypes.c_float),
             _ptr(ot, ctypes.c_float), _ptr(op, ctypes.c_float),
             _ptr(valid, ctypes.c_uint8))

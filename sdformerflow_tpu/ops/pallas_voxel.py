@@ -36,7 +36,8 @@ EVENT_CHUNK = 512
 
 
 def _voxel_kernel(off_ref, ev_ref, out_ref, evs, acc, sem, *,
-                  num_bins: int, width: int, chunk: int):
+                  num_bins: int, width: int, chunk: int,
+                  relu_weights: bool = False):
     r = pl.program_id(0)
     start = off_ref[r]
     end = off_ref[r + 1]
@@ -62,29 +63,44 @@ def _voxel_kernel(off_ref, ev_ref, out_ref, evs, acc, sem, *,
         pos = s + lane
         val = jnp.where((pos >= start) & (pos < end), val, 0.0)
 
-        x0 = jnp.floor(x)
-        fx = x - x0
-        fy = yv - jnp.floor(yv)
-        t0 = jnp.floor(tn)
-        ft = tn - t0
-        t0i = t0.astype(jnp.int32)
+        # torch-``.int()`` truncation parity (event_representations.py:262):
+        # corner weights are 1 - |corner - coord| from the TRUNCATED base, so
+        # coords in (-1, 0) keep the reference's signed (possibly negative)
+        # corner weights; corners outside the grid drop out of the one-hots
+        # exactly like the reference's per-corner range mask.
+        x0 = jnp.trunc(x)
+        wx0 = 1.0 - jnp.abs(x0 - x)
+        wx1 = 1.0 - jnp.abs(x0 + 1.0 - x)
+        y0 = jnp.trunc(yv)
+        wy = (1.0 - jnp.abs(y0 - yv), 1.0 - jnp.abs(y0 + 1.0 - yv))
+        t0 = jnp.trunc(tn)
+        wt = (1.0 - jnp.abs(t0 - tn), 1.0 - jnp.abs(t0 + 1.0 - tn))
+        if relu_weights:
+            # events_to_frames relu()s each corner weight
+            # (event_representations.py:45-76) instead of keeping the signed
+            # out-of-support values.
+            wx0, wx1 = jnp.maximum(wx0, 0.0), jnp.maximum(wx1, 0.0)
+            wy = tuple(jnp.maximum(v, 0.0) for v in wy)
+        # clip the integer bases only as an int32-aliasing guard: every
+        # clipped value sits outside the one-hot ranges, so contributions are
+        # identical, but extreme float coords can no longer wrap around int32
+        # and alias a real cell.
+        t0i = jnp.clip(t0, -2.0, num_bins + 1.0).astype(jnp.int32)
+        x0i = jnp.clip(x0, -2.0, width + 1.0).astype(jnp.int32)
 
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
         rowmat = jnp.zeros((R, chunk), jnp.float32)
         for dt in (0, 1):
-            wt = (1.0 - ft) if dt == 0 else ft
             for dy in (0, 1):
-                wy = (1.0 - fy) if dy == 0 else fy
                 rid = (t0i + dt) * 2 + dy          # [1, E]
-                w = val * wt * wy                  # [1, E]
+                w = val * wt[dt] * wy[dy]          # [1, E]
                 rowmat = rowmat + jnp.where(iota_r == rid, w, 0.0)
 
         # column spread built as [W, E] (pure broadcasts, no sublane/lane
         # transposes), contracted with rowmat over E
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (width, 1), 0)
-        x0i = x0.astype(jnp.int32)                 # [1, E]
-        colmat = (jnp.where(iota_w == x0i, 1.0 - fx, 0.0)
-                  + jnp.where(iota_w == x0i + 1, fx, 0.0))  # [W, E]
+        colmat = (jnp.where(iota_w == x0i, wx0, 0.0)
+                  + jnp.where(iota_w == x0i + 1, wx1, 0.0))  # [W, E]
 
         acc[...] += jax.lax.dot_general(
             rowmat, colmat, (((1,), (1,)), ((), ())),
@@ -98,7 +114,7 @@ def _voxel_kernel(off_ref, ev_ref, out_ref, evs, acc, sem, *,
 
 
 def _voxel_rows_pallas(ev_sorted, offsets, *, num_rows, num_bins, width,
-                       chunk=EVENT_CHUNK):
+                       chunk=EVENT_CHUNK, relu_weights=False):
     """ev_sorted: [4, N_padded] (x, y, t_n, value) sorted by y-row;
     offsets: [num_rows + 1] int32. Returns partial [num_rows, num_bins+1, 2,
     width] f32."""
@@ -118,7 +134,7 @@ def _voxel_rows_pallas(ev_sorted, offsets, *, num_rows, num_bins, width,
     )
     return pl.pallas_call(
         functools.partial(_voxel_kernel, num_bins=num_bins, width=width,
-                          chunk=chunk),
+                          chunk=chunk, relu_weights=relu_weights),
         out_shape=jax.ShapeDtypeStruct((num_rows, n_bins1, 2, width),
                                        jnp.float32),
         grid_spec=grid_spec,
@@ -126,28 +142,40 @@ def _voxel_rows_pallas(ev_sorted, offsets, *, num_rows, num_bins, width,
 
 
 def _accumulate_core(xf, yf, t_n, values, *, num_bins, height, width,
-                     chunk):
+                     chunk, relu_weights=False):
     """Shared sorted-dense accumulation: sort by y-row once, run the row
     kernel once per value column, fold. ``values`` is a tuple of [N] weight
     arrays (already masked); returns one [num_bins, H, W] grid per column.
     The same core serves trilinear voxels, per-polarity voxels, the
     time-bilinear v2 grid, and per-bin count frames — integer coordinates
-    make the corresponding corner weights vanish exactly."""
-    y_row = jnp.clip(jnp.trunc(yf).astype(jnp.int32), 0, height - 1)
-    key = y_row.astype(jnp.float32)
+    make the corresponding corner weights vanish exactly.
+
+    Events are grouped by g = trunc(y) + 1 into ``height + 1`` row groups
+    (group 0 holds trunc(y) == -1, whose only in-grid corner is row 0);
+    events with trunc(y) outside [-1, height-1] have no in-grid y-corner in
+    the reference semantics, so their weight is zeroed here (they stay in
+    the stream and the sort key is clipped to keep groups contiguous)."""
+    y0t = jnp.trunc(yf)
+    in_y = (y0t >= -1.0) & (y0t <= height - 1.0)
+    values = tuple(jnp.where(in_y, v, 0.0) for v in values)
+    key = jnp.clip(y0t, -1.0, height - 1.0) + 1.0
     sorted_all = jax.lax.sort((key, xf, yf, t_n) + tuple(values),
                               num_keys=1)
     xs, ys, ts_ = sorted_all[1], sorted_all[2], sorted_all[3]
     vs_sorted = sorted_all[4:]
-    y_row_sorted = jnp.trunc(ys).astype(jnp.int32)
-    offsets = jnp.searchsorted(y_row_sorted, jnp.arange(height + 1),
+    # Offsets must come from the SAME (clipped) key the sort used: recomputing
+    # trunc(ys) unclipped is non-monotone when out-of-range events land in the
+    # first/last row groups, and searchsorted on a non-sorted array returns
+    # undefined offsets (silently dropping valid boundary-row events).
+    group_sorted = sorted_all[0].astype(jnp.int32)
+    offsets = jnp.searchsorted(group_sorted, jnp.arange(height + 2),
                                method="scan_unrolled").astype(jnp.int32)
     grids = []
     for vv in vs_sorted:
         ev = jnp.pad(jnp.stack([xs, ys, ts_, vv]), ((0, 0), (0, chunk)))
-        partial = _voxel_rows_pallas(ev, offsets, num_rows=height,
+        partial = _voxel_rows_pallas(ev, offsets, num_rows=height + 1,
                                      num_bins=num_bins, width=width,
-                                     chunk=chunk)
+                                     chunk=chunk, relu_weights=relu_weights)
         grids.append(_fold_partial(partial, num_bins))
     return grids
 
@@ -159,30 +187,40 @@ def _range_mask(xf, yf, width, height, valid):
     return m
 
 
+def _apply_valid(value, valid):
+    return value if valid is None else jnp.where(valid, value, 0.0)
+
+
 def voxel_grid_signed_pallas(x, y, t, p, *, num_bins, height, width,
                              valid=None, t_range=None, chunk=EVENT_CHUNK):
     """Drop-in replacement for ops.voxel.voxel_grid_signed on TPU.
 
-    Same signature/semantics; internally sorts by y-row and runs the dense
-    Pallas accumulation. ~7-8x faster than the XLA scatter path at 2^20
-    events (see PERF_NOTES.md).
+    Same signature/semantics INCLUDING out-of-range coordinates: the
+    reference masks per CORNER (event_representations.py:262-277), so events
+    with coords slightly outside the grid still contribute their in-grid
+    corners (with the torch-trunc signed weights); this is reproduced by the
+    kernel's truncation parametrization, not an event-level range mask.
+    Internally sorts by y-row and runs the dense Pallas accumulation. ~7-8x
+    faster than the XLA scatter path at 2^20 events (see PERF_NOTES.md).
     """
     from .voxel import _t_norm
 
     t_n = _t_norm(t.astype(jnp.float32), num_bins, t_range)
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
-    value = 2.0 * p.astype(jnp.float32) - 1.0
-    value = jnp.where(_range_mask(xf, yf, width, height, valid), value, 0.0)
+    value = _apply_valid(2.0 * p.astype(jnp.float32) - 1.0, valid)
     (grid,) = _accumulate_core(xf, yf, t_n, (value,), num_bins=num_bins,
                                height=height, width=width, chunk=chunk)
     return grid
 
 
 def _fold_partial(partial, num_bins):
-    # fold dy: out[t, y] = partial[y, t, 0] + partial[y-1, t, 1]
-    own = partial[:, :num_bins, 0]               # [H, T, W]
-    below = jnp.pad(partial[:-1, :num_bins, 1], ((1, 0), (0, 0), (0, 0)))
+    # partial is [H+1, num_bins+1, 2, W] indexed by group g = trunc(y) + 1;
+    # dy=0 is the corner at row g-1, dy=1 the corner at row g, so
+    # out[t, y] = partial[y+1, t, 0] + partial[y, t, 1] (and the
+    # (num_bins)-th time bin is dropped — the reference masks tl < num_bins).
+    own = partial[1:, :num_bins, 0]              # [H, T, W]
+    below = partial[:-1, :num_bins, 1]           # [H, T, W]
     return (own + below).transpose(1, 0, 2)      # [T, H, W]
 
 
@@ -199,8 +237,7 @@ def voxel_grid_polarities_pallas(x, y, t, p, *, num_bins, height, width,
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     pos = p.astype(jnp.float32) == 1.0
-    base = jnp.where(_range_mask(xf, yf, width, height, valid),
-                     jnp.ones(x.shape, jnp.float32), 0.0)
+    base = _apply_valid(jnp.ones(x.shape, jnp.float32), valid)
     v_pos = jnp.where(pos, base, 0.0)
     v_neg = jnp.where(pos, 0.0, base)
     grids = _accumulate_core(xf, yf, t_n, (v_pos, v_neg), num_bins=num_bins,
@@ -215,7 +252,13 @@ def events_to_voxel_grid_v2_pallas(x, y, t, p, *, num_bins, height, width,
     bilinear in time only, x/y truncated — event_representations.py:315-368).
     Truncated integer x/y make the spatial corner weights collapse to a
     single cell, so the trilinear core computes exactly the bilinear-time
-    sum."""
+    sum.
+
+    Divergence from the reference for OUT-OF-RANGE x/y only: the reference
+    computes a flat index with no spatial range check, so negative/overflow
+    indices wrap (torch ``put_`` indexes from the end) and alias arbitrary
+    cells; this path drops such events instead (aliasing is a storage
+    artifact, not representation semantics)."""
     from .voxel import _t_norm, normalize_nonzero_std
 
     t_n = _t_norm(t.astype(jnp.float32), num_bins, t_range)
@@ -236,7 +279,9 @@ def events_to_frames_pallas(x, y, t, p, *, num_frames, height, width,
     """Pallas counterpart of ops.voxel.events_to_frames: per-bin bilinear
     (x, y) ON/OFF count frames [num_frames, 2, H, W]
     (event_representations.py:45-76). The frame index is integral, so the
-    temporal corner weight collapses; x/y keep their bilinear spread."""
+    temporal corner weight collapses; x/y keep their bilinear spread. The
+    reference relu()s each corner weight and masks per corner (no event-level
+    range check) — reproduced via ``relu_weights``."""
     from .voxel import _t_norm, _trunc_int
 
     t_n01 = _t_norm(t.astype(jnp.float32), 2, t_range)   # [0, 1]
@@ -244,11 +289,10 @@ def events_to_frames_pallas(x, y, t, p, *, num_frames, height, width,
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     pos = p.astype(jnp.float32) == 1.0
-    base = jnp.where(_range_mask(xf, yf, width, height, valid),
-                     jnp.ones(x.shape, jnp.float32), 0.0)
+    base = _apply_valid(jnp.ones(x.shape, jnp.float32), valid)
     v_on = jnp.where(pos, base, 0.0)
     v_off = jnp.where(pos, 0.0, base)
     grids = _accumulate_core(xf, yf, ts, (v_on, v_off),
                              num_bins=num_frames, height=height,
-                             width=width, chunk=chunk)
+                             width=width, chunk=chunk, relu_weights=True)
     return jnp.stack(grids, axis=1)              # [F, 2, H, W]

@@ -93,3 +93,32 @@ def test_numpy_fallback_matches_native(stream, monkeypatch):
         t, np.arange(0, 5_000_001, 500_000, dtype=np.int64))
     monkeypatch.setattr(native, "_TRIED", False)
     monkeypatch.setattr(native, "_LIB", None)
+
+
+def test_pack_window_i64_times_generic_path_keeps_resolution():
+    """int64 absolute-microsecond stamps with float x must rebase in f64
+    BEFORE the f32 narrowing (advisor finding r2): 1 us deltas on a ~2e9 us
+    base vanish if t is cast to f32 first."""
+    base = 2_000_000_000
+    t = base + np.array([0, 1, 2, 5, 10], np.int64)
+    n = t.size
+    x = np.linspace(0, 10, n).astype(np.float32)  # float x -> generic path
+    y = np.linspace(0, 5, n).astype(np.float32)
+    p = np.array([0, 1, 0, 1, 1], np.uint8)
+    ox, oy, ot, op, valid = native.pack_window(x, y, t, p, cap=8)
+    np.testing.assert_array_equal(ot[:n], np.array([0, 1, 2, 5, 10],
+                                                   np.float32))
+
+
+def test_pack_window_signed_polarity_avoids_u16_fast_path():
+    """int8 -1/+1 polarities must NOT be reinterpreted through the u16 fast
+    path's uint8 cast (-1 -> 255); the generic path preserves the sign."""
+    rng = np.random.default_rng(3)
+    n = 64
+    x = rng.integers(0, 100, n).astype(np.uint16)
+    y = rng.integers(0, 80, n).astype(np.uint16)
+    t = np.sort(rng.integers(0, 10_000, n)).astype(np.int64)
+    p = rng.choice(np.array([-1, 1], np.int8), n)
+    ox, oy, ot, op, valid = native.pack_window(x, y, t, p, cap=128)
+    np.testing.assert_array_equal(op[:n], p.astype(np.float32))
+    assert set(np.unique(op[:n])) <= {-1.0, 1.0}

@@ -151,3 +151,61 @@ def test_pallas_degenerate_distributions():
         x, y, t, p, num_bins=bins, height=h, width=w,
         valid=jnp.zeros((n,), bool), t_range=(0.0, 1.0), chunk=128)
     assert float(jnp.abs(zero).sum()) == 0.0
+
+
+def test_pallas_out_of_range_coordinates():
+    """Out-of-range coords (y <= -1, y >= H, x out of range) are zero-weight
+    but stay in the sorted stream; the offsets must come from the same
+    clipped key the sort used or boundary-row events get dropped
+    (advisor finding r2). Mix plenty of out-of-range events with valid
+    events concentrated in the first and last rows."""
+    h, w, bins = 10, 16, 4
+    rng = np.random.default_rng(11)
+    n_valid, n_oob = 600, 400
+    xv = rng.uniform(0, w - 1, n_valid).astype(np.float32)
+    # valid events only in boundary rows 0 and h-1
+    yv = np.where(rng.uniform(size=n_valid) < 0.5,
+                  rng.uniform(0, 0.999, n_valid),
+                  np.full(n_valid, h - 1.0)).astype(np.float32)
+    xo = rng.uniform(-5, w + 5, n_oob).astype(np.float32)
+    yo = np.where(rng.uniform(size=n_oob) < 0.5,
+                  rng.uniform(-6, -1, n_oob),
+                  rng.uniform(h, h + 6, n_oob)).astype(np.float32)
+    x = np.concatenate([xv, xo])
+    y = np.concatenate([yv, yo])
+    n = n_valid + n_oob
+    t = np.sort(rng.uniform(0, 1, n)).astype(np.float32)
+    p = rng.integers(0, 2, n).astype(np.float32)
+    perm = rng.permutation(n)
+    x, y, t, p = (jnp.asarray(a[perm]) for a in (x, y, t, p))
+    want = voxel_grid_signed(x, y, t, p, num_bins=bins, height=h, width=w,
+                             t_range=(0.0, 1.0))
+    got = pallas_voxel.voxel_grid_signed_pallas(
+        x, y, t, p, num_bins=bins, height=h, width=w, t_range=(0.0, 1.0),
+        chunk=128)
+    assert float(jnp.abs(want).sum()) > 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_frames_out_of_range_relu():
+    """events_to_frames masks per CORNER with relu'd weights and no
+    event-level range check (event_representations.py:45-76): border events
+    with coords in (-1, 0) or (W-1, W) still contribute their in-grid
+    corner."""
+    from sdformerflow_tpu.ops.voxel import events_to_frames
+    h, w, frames = 8, 12, 3
+    rng = np.random.default_rng(13)
+    n = 500
+    x = jnp.asarray(rng.uniform(-0.99, w - 0.01, n).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-0.99, h - 0.01, n).astype(np.float32))
+    t = jnp.asarray(np.sort(rng.uniform(0, 1, n)).astype(np.float32))
+    p = jnp.asarray(rng.integers(0, 2, n).astype(np.float32))
+    want = events_to_frames(x, y, t, p, num_frames=frames, height=h,
+                            width=w, t_range=(0.0, 1.0))
+    got = pallas_voxel.events_to_frames_pallas(
+        x, y, t, p, num_frames=frames, height=h, width=w,
+        t_range=(0.0, 1.0), chunk=128)
+    assert float(jnp.abs(want).sum()) > 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
