@@ -30,6 +30,13 @@ class SpikingConfig:
     # eval_DSEC_flow_SNN.py:145-149): when True each neuron site sows
     # per-step membrane statistics into the ``intermediates`` collection
     store_v_seq: bool = False
+    # eval-time BN folding (inference-only): when True every foldable
+    # BatchNorm site (plain BN / TDBN with running stats) is SKIPPED by the
+    # model and its partner conv/linear gains a bias — apply with variables
+    # transformed by training.bn_folding.fold_bn_variables. Deletes an entire
+    # elementwise pass (+ its f32 converts) at every neuron site; invalid in
+    # train mode (batch statistics would be wrong).
+    fold_bn: bool = False
 
     def replace(self, **kw) -> "SpikingConfig":
         return dataclasses.replace(self, **kw)

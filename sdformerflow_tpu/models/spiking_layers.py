@@ -35,6 +35,17 @@ from ..ops.surrogate import get_surrogate
 from ..ops.interpolate import resize_bilinear
 from .common import SpikingConfig, xavier_uniform
 
+# Norm kinds whose eval-time affine can be folded into the adjacent
+# conv/linear weights (running-stats BatchNorm variants; BN_notrack uses
+# batch statistics at eval and BNTT has per-timestep stats, neither folds).
+_FOLDABLE_NORMS = ("BN", "tdBN", "TDBN")
+
+
+def norm_is_folded(norm, cfg: SpikingConfig) -> bool:
+    """True when ``cfg.fold_bn`` removes this norm site from the graph (the
+    variables must then come from training.bn_folding.fold_bn_variables)."""
+    return cfg.fold_bn and norm in _FOLDABLE_NORMS
+
 
 class SpikingNeuron(nn.Module):
     """Config-driven neuron over [T, ...] inputs (time axis leading).
@@ -306,9 +317,11 @@ class SpikingConvEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = self.cfg.spike_norm
+        folded = norm_is_folded(norm, self.cfg)
         x = conv2d(self.out_channels, self.kernel_size, self.stride,
-                   self.padding, use_bias=norm is None, name="conv")(x)
-        if norm is not None:
+                   self.padding, use_bias=norm is None or folded,
+                   name="conv")(x)
+        if norm is not None and not folded:
             x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
                             self.cfg.v_th, name="norm")(x, train)
         return SpikingNeuron(self.cfg, name="sn")(x)
@@ -328,11 +341,13 @@ class MSSpikingConvEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = self.cfg.spike_norm
+        folded = norm_is_folded(norm, self.cfg)
         if not self.first_layer:
             x = SpikingNeuron(self.cfg, name="sn")(x)
         x = conv2d(self.out_channels, self.kernel_size, self.stride,
-                   self.padding, use_bias=norm is None, name="conv")(x)
-        if norm is not None:
+                   self.padding, use_bias=norm is None or folded,
+                   name="conv")(x)
+        if norm is not None and not folded:
             x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
                             self.cfg.v_th, name="norm")(x, train)
         return x
@@ -350,12 +365,13 @@ class SpikingDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = self.cfg.spike_norm
+        folded = norm_is_folded(norm, self.cfg)
         T, B, H, W, C = x.shape
         x = resize_bilinear(x, (H * self.scale, W * self.scale))
         x = conv2d(self.out_channels, self.kernel_size, 1,
-                   self.kernel_size // 2, use_bias=norm is None,
+                   self.kernel_size // 2, use_bias=norm is None or folded,
                    name="deconv")(x)
-        if norm is not None:
+        if norm is not None and not folded:
             x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
                             self.cfg.v_th, name="norm")(x, train)
         return SpikingNeuron(self.cfg, name="sn")(x)
@@ -372,13 +388,14 @@ class MSSpikingDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = self.cfg.spike_norm
+        folded = norm_is_folded(norm, self.cfg)
         T, B, H, W, C = x.shape
         x = resize_bilinear(x, (H * 2, W * 2))
         x = SpikingNeuron(self.cfg, name="sn")(x)
         x = conv2d(self.out_channels, self.kernel_size, 1,
-                   self.kernel_size // 2, use_bias=norm is None,
+                   self.kernel_size // 2, use_bias=norm is None or folded,
                    name="deconv")(x)
-        if norm is not None:
+        if norm is not None and not folded:
             x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
                             self.cfg.v_th, name="norm")(x, train)
         return x
@@ -395,13 +412,14 @@ class SpikingTransposeDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = self.cfg.spike_norm
+        folded = norm_is_folded(norm, self.cfg)
         k = self.kernel_size if self.scale == 2 else 7
         # scale-4 geometry: torch ConvTranspose2d(7, stride=4, padding=2,
         # output_padding=1) (Spiking_modules.py:434-443)
         x = conv_transpose2d(self.out_channels, k, self.scale,
-                             use_bias=norm is None, name="deconv",
+                             use_bias=norm is None or folded, name="deconv",
                              padding=k // 2 if self.scale == 2 else 2)(x)
-        if norm is not None:
+        if norm is not None and not folded:
             x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
                             self.cfg.v_th, name="norm")(x, train)
         return SpikingNeuron(self.cfg, name="sn")(x)
@@ -418,12 +436,13 @@ class MSSpikingTransposeDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = self.cfg.spike_norm
+        folded = norm_is_folded(norm, self.cfg)
         x = SpikingNeuron(self.cfg, name="sn")(x)
         k = self.kernel_size if self.scale == 2 else 7
         x = conv_transpose2d(self.out_channels, k, self.scale,
-                             use_bias=norm is None, name="deconv",
+                             use_bias=norm is None or folded, name="deconv",
                              padding=k // 2 if self.scale == 2 else 2)(x)
-        if norm is not None:
+        if norm is not None and not folded:
             x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
                             self.cfg.v_th, name="norm")(x, train)
         return x
@@ -470,14 +489,17 @@ class SEWResBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         identity = x
         norm = self.cfg.spike_norm
-        use_bias = norm is None
+        # resblock norms are always plain BN (reference quirk) -> foldable
+        # whenever fold_bn is on and a norm exists at all
+        folded = norm is not None and norm_is_folded("BN", self.cfg)
+        use_bias = norm is None or folded
         x = conv2d(self.channels, 3, 1, 1, use_bias=use_bias, name="conv1")(x)
-        if norm is not None:
+        if norm is not None and not folded:
             x = SpikingNorm(self.channels, self.cfg.num_steps, "BN",
                             self.cfg.v_th, name="norm1")(x, train)
         x = SpikingNeuron(self.cfg, name="sn1")(x)
         x = conv2d(self.channels, 3, 1, 1, use_bias=use_bias, name="conv2")(x)
-        if norm is not None:
+        if norm is not None and not folded:
             x = SpikingNorm(self.channels, self.cfg.num_steps, "BN",
                             self.cfg.v_th, name="norm2")(x, train)
         out = SpikingNeuron(self.cfg, name="sn2")(x)
@@ -495,15 +517,16 @@ class MSResBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         identity = x
         norm = self.cfg.spike_norm
-        use_bias = norm is None
+        folded = norm is not None and norm_is_folded("BN", self.cfg)
+        use_bias = norm is None or folded
         x = SpikingNeuron(self.cfg, name="sn1")(x)
         x = conv2d(self.channels, 3, 1, 1, use_bias=use_bias, name="conv1")(x)
-        if norm is not None:
+        if norm is not None and not folded:
             x = SpikingNorm(self.channels, self.cfg.num_steps, "BN",
                             self.cfg.v_th, name="norm1")(x, train)
         x = SpikingNeuron(self.cfg, name="sn2")(x)
         x = conv2d(self.channels, 3, 1, 1, use_bias=use_bias, name="conv2")(x)
-        if norm is not None:
+        if norm is not None and not folded:
             x = SpikingNorm(self.channels, self.cfg.num_steps, "BN",
                             self.cfg.v_th, name="norm2")(x, train)
         return _connect(x, identity, self.connect_function, self.cfg)
@@ -553,14 +576,18 @@ class SpikingEmbeddingLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm_on = self.use_norm and self.cfg.spike_norm is not None
+        has_norm = self.use_norm and self.cfg.spike_norm is not None
+        # the embedding norm is a plain TorchBatchNorm regardless of the
+        # spike_norm kind -> foldable whenever fold_bn is on
+        folded = has_norm and self.cfg.fold_bn
+        norm_on = has_norm and not folded
 
         def body(h):
             h = nn.Conv(self.out_channels,
                         (self.kernel_size, self.kernel_size),
                         strides=tuple(self.stride), padding=((1, 1), (1, 1)),
-                        use_bias=not norm_on, kernel_init=xavier_uniform,
-                        name="conv")(h)
+                        use_bias=not has_norm or folded,
+                        kernel_init=xavier_uniform, name="conv")(h)
             if norm_on:
                 h = TorchBatchNorm(name="norm")(h, not train)
             return h
@@ -583,16 +610,18 @@ class SpikingPEDLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm_on = self.cfg.spike_norm is not None
+        has_norm = self.cfg.spike_norm is not None
+        folded = has_norm and self.cfg.fold_bn  # plain BN, always foldable
+        # conv_res has no norm of its own: its bias stays tied to has_norm
         x_res = nn.Conv(self.out_channels, (1, 1), strides=(2, 2),
-                        padding="VALID", use_bias=not norm_on,
+                        padding="VALID", use_bias=not has_norm,
                         kernel_init=xavier_uniform, name="conv_res")(x)
         x = SpikingNeuron(self.cfg, name="sn")(x)
         x = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
                     strides=tuple(self.stride), padding=((1, 1), (1, 1)),
-                    use_bias=not norm_on, kernel_init=xavier_uniform,
-                    name="conv")(x)
-        if norm_on:
+                    use_bias=not has_norm or folded,
+                    kernel_init=xavier_uniform, name="conv")(x)
+        if has_norm and not folded:
             x = TorchBatchNorm(name="norm")(x, not train)
         return x + x_res
 
@@ -610,23 +639,25 @@ class MSSepConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = self.cfg.spike_norm
+        folded = norm_is_folded(norm, self.cfg)
         med = int(self.expansion_ratio * self.dim)
         use_bias = norm is None
         pad = self.kernel_size // 2
         x = SpikingNeuron(self.cfg, name="sn1")(x)
-        x = nn.Conv(med, (1, 1), use_bias=use_bias,
+        x = nn.Conv(med, (1, 1), use_bias=use_bias or folded,
                     kernel_init=xavier_uniform, name="pwconv1")(x)
-        if norm is not None:
+        if norm is not None and not folded:
             x = SpikingNorm(med, self.cfg.num_steps, norm, self.cfg.v_th,
                             name="norm1")(x, train)
         x = SpikingNeuron(self.cfg, name="sn2")(x)
+        # dwconv has no adjacent norm (norm2 follows pwconv2): bias unchanged
         x = nn.Conv(med, (self.kernel_size, self.kernel_size),
                     padding=((pad, pad), (pad, pad)), feature_group_count=med,
                     use_bias=use_bias, kernel_init=xavier_uniform,
                     name="dwconv")(x)
-        x = nn.Conv(self.dim, (1, 1), use_bias=use_bias,
+        x = nn.Conv(self.dim, (1, 1), use_bias=use_bias or folded,
                     kernel_init=xavier_uniform, name="pwconv2")(x)
-        if norm is not None:
+        if norm is not None and not folded:
             x = SpikingNorm(self.dim, self.cfg.num_steps, norm, self.cfg.v_th,
                             name="norm2")(x, train)
         return x
@@ -643,19 +674,20 @@ class MSSpikingSepConvEncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = self.cfg.spike_norm
-        use_bias = norm is None
+        folded = norm_is_folded(norm, self.cfg)
+        use_bias = norm is None or folded
         x = MSSepConv(self.in_channels, self.cfg, name="sep")(x, train) + x
         feat = x
         x = SpikingNeuron(self.cfg, name="sn1")(x)
         x = conv2d(self.out_channels, 3, 1, 1, use_bias=use_bias,
                    name="conv1")(x)
-        if norm is not None:
+        if norm is not None and not folded:
             x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
                             self.cfg.v_th, name="norm1")(x, train)
         x = SpikingNeuron(self.cfg, name="sn2")(x)
         x = conv2d(self.in_channels, 3, 1, 1, use_bias=use_bias,
                    name="conv2")(x)
-        if norm is not None:
+        if norm is not None and not folded:
             x = SpikingNorm(self.in_channels, self.cfg.num_steps, norm,
                             self.cfg.v_th, name="norm2")(x, train)
         return feat + x
@@ -673,18 +705,19 @@ class MSSpikingSepTransposeDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = self.cfg.spike_norm
-        use_bias = norm is None
+        folded = norm_is_folded(norm, self.cfg)
+        use_bias = norm is None or folded
         in_ch = x.shape[-1]
         x = SpikingNeuron(self.cfg, name="sn1")(x)
         x = conv_transpose2d(in_ch, self.kernel_size, 2, use_bias=use_bias,
                              name="deconv1")(x)
-        if norm is not None:
+        if norm is not None and not folded:
             x = SpikingNorm(in_ch, self.cfg.num_steps, norm, self.cfg.v_th,
                             name="norm1")(x, train)
         x = SpikingNeuron(self.cfg, name="sn2")(x)
         x = conv_transpose2d(self.out_channels, 1, 2, use_bias=use_bias,
                              name="deconv2")(x)
-        if norm is not None:
+        if norm is not None and not folded:
             x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
                             self.cfg.v_th, name="norm2")(x, train)
         return x

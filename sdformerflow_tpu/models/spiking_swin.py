@@ -38,7 +38,8 @@ import flax.linen as nn
 
 from ..ops import windows as W
 from .common import SpikingConfig, kaiming_normal_fan_out
-from .spiking_layers import SpikingNeuron, SpikingNorm, drop_path
+from .spiking_layers import (SpikingNeuron, SpikingNorm, drop_path,
+                             norm_is_folded)
 
 _BN_FAMILY = ("BN", "BNTT", "tdBN", "TDBN", "IN")
 
@@ -60,8 +61,9 @@ class _QKVBranch(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = _dense(self.dim, use_bias=False, name="linear")(x)
-        if self.norm in _BN_FAMILY:
+        folded = norm_is_folded(self.norm, self.cfg)
+        x = _dense(self.dim, use_bias=folded, name="linear")(x)
+        if self.norm in _BN_FAMILY and not folded:
             x = SpikingNorm(self.dim, self.cfg.num_steps, self.norm,
                             self.cfg.v_th, name="bn")(x, train)
         if self.add_pe:
@@ -155,7 +157,7 @@ class SpikingBNWindowAttention3D(nn.Module):
         out = out.reshape(B_, nh, T, Hw, Ww_, hd)
         out = out.transpose(2, 0, 3, 4, 1, 5).reshape(T, B_, Hw, Ww_, C)
         out = _dense(self.dim, use_bias=True, name="proj")(out)
-        if self.norm in _BN_FAMILY:
+        if self.norm in _BN_FAMILY and not norm_is_folded(self.norm, acfg):
             out = SpikingNorm(self.dim, acfg.num_steps, self.norm,
                               acfg.v_th, name="proj_bn")(out, train)
         if self.spike_output:
@@ -204,7 +206,7 @@ class SpikingQKWindowAttention3D(nn.Module):
         out = out.transpose(2, 0, 3, 4, 1, 5).reshape(T, B_, Hw, Ww_, C)
         attn_scores = SpikingNeuron(acfg, name="attn_sn")(out)
         out = _dense(self.dim, use_bias=True, name="proj")(out)
-        if self.norm in _BN_FAMILY:
+        if self.norm in _BN_FAMILY and not norm_is_folded(self.norm, acfg):
             out = SpikingNorm(self.dim, acfg.num_steps, self.norm,
                               acfg.v_th, name="proj_bn")(out, train)
         return out, attn_scores  # [T, B_, wh, ww, C] (time-major windows)
@@ -222,21 +224,22 @@ class SpikingMlp(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = self.norm
+        folded = norm_is_folded(norm, self.cfg)
         if norm in ("LN", "GN"):
             x = SpikingNorm(self.dim, self.cfg.num_steps, norm, self.cfg.v_th,
                             name="pre_norm")(x, train)
         if self.ms:
             x = SpikingNeuron(self.cfg, name="sn1")(x)
-        x = _dense(self.hidden_dim, use_bias=False, name="fc1")(x)
-        if norm in _BN_FAMILY:
+        x = _dense(self.hidden_dim, use_bias=folded, name="fc1")(x)
+        if norm in _BN_FAMILY and not folded:
             x = SpikingNorm(self.hidden_dim, self.cfg.num_steps, norm,
                             self.cfg.v_th, name="bn1")(x, train)
         if self.ms:
             x = SpikingNeuron(self.cfg, name="sn2")(x)
         else:
             x = SpikingNeuron(self.cfg, name="sn1")(x)
-        x = _dense(self.dim, use_bias=False, name="fc2")(x)
-        if norm in _BN_FAMILY:
+        x = _dense(self.dim, use_bias=folded, name="fc2")(x)
+        if norm in _BN_FAMILY and not folded:
             x = SpikingNorm(self.dim, self.cfg.num_steps, norm, self.cfg.v_th,
                             name="bn2")(x, train)
         if not self.ms:
@@ -344,15 +347,18 @@ class SpikingPatchMerging(nn.Module):
         x = jnp.concatenate([x[:, :, 0::2, 0::2], x[:, :, 1::2, 0::2],
                              x[:, :, 0::2, 1::2], x[:, :, 1::2, 1::2]],
                             axis=-1)  # D B H/2 W/2 4C
+        folded = norm_is_folded(self.norm, self.cfg)
         if self.ms:
             x = SpikingNeuron(self.cfg, name="sn")(x)
-            x = _dense(2 * self.dim, use_bias=False, name="reduction")(x)
-            x = SpikingNorm(2 * self.dim, self.cfg.num_steps, self.norm,
-                            self.cfg.v_th, name="norm")(x, train)
+            x = _dense(2 * self.dim, use_bias=folded, name="reduction")(x)
+            if not folded:
+                x = SpikingNorm(2 * self.dim, self.cfg.num_steps, self.norm,
+                                self.cfg.v_th, name="norm")(x, train)
         else:
-            x = _dense(2 * self.dim, use_bias=False, name="reduction")(x)
-            x = SpikingNorm(2 * self.dim, self.cfg.num_steps, self.norm,
-                            self.cfg.v_th, name="norm")(x, train)
+            x = _dense(2 * self.dim, use_bias=folded, name="reduction")(x)
+            if not folded:
+                x = SpikingNorm(2 * self.dim, self.cfg.num_steps, self.norm,
+                                self.cfg.v_th, name="norm")(x, train)
             x = SpikingNeuron(self.cfg, name="sn")(x)
         return x
 
