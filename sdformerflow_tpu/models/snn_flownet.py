@@ -70,13 +70,21 @@ class SpikingSwinTransformer3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False,
-                 collect_attention: bool = False):
+                 collect_attention: bool = False,
+                 pre_embedded: bool = False):
         sw = self.swin
-        embed = PATCH_EMBEDS[sw.patch_embed_type](
-            img_size=tuple(sw.input_size), patch_size=tuple(sw.patch_size),
-            in_chans=self.in_chans, embed_dim=self.embed_dim, cfg=self.cfg,
-            name="patch_embed")
-        x = embed(x, train)                       # [T, B, H', W', C]
+        if pre_embedded:
+            # x is already the patch-embed output [T, B, H', W', C] (e.g.
+            # computed by ops.pallas_embed.fused_embed_forward); the
+            # patch_embed params simply go unused in this apply.
+            pass
+        else:
+            embed = PATCH_EMBEDS[sw.patch_embed_type](
+                img_size=tuple(sw.input_size),
+                patch_size=tuple(sw.patch_size),
+                in_chans=self.in_chans, embed_dim=self.embed_dim,
+                cfg=self.cfg, name="patch_embed")
+            x = embed(x, train)                   # [T, B, H', W', C]
         # stages run time-major [D=T, B, H, W, C]: no layout change needed
 
         depths = sw.depths
@@ -135,7 +143,8 @@ class SpikingformerMultiResUNet(nn.Module):
     ms: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False, log: bool = False):
+    def __call__(self, x, train: bool = False, log: bool = False,
+                 pre_embedded: bool = False):
         skip_ftn = skip_concat if self.skip_type == "concat" else skip_sum
         backbone = SpikingSwinTransformer3D(
             swin=self.swin, cfg=self.cfg, in_chans=self.num_bins,
@@ -143,9 +152,10 @@ class SpikingformerMultiResUNet(nn.Module):
             spikformer_norm=self.cfg.spike_norm, ms=self.ms, name="encoders")
         attns = None
         if log:
-            blocks, attns = backbone(x, train, collect_attention=True)
+            blocks, attns = backbone(x, train, collect_attention=True,
+                                     pre_embedded=pre_embedded)
         else:
-            blocks = backbone(x, train)
+            blocks = backbone(x, train, pre_embedded=pre_embedded)
         assert len(blocks) == self.num_encoders
 
         x = blocks[-1]
@@ -199,8 +209,15 @@ class SpikingformerFlowNet(nn.Module):
     ms: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False, log: bool = False):
-        B, bins, P, H, Wd = x.shape
+    def __call__(self, x, train: bool = False, log: bool = False,
+                 pre_embedded=None):
+        if pre_embedded is not None:
+            # (full-res input is still needed for the output resize)
+            B, bins, P, H, Wd = x.shape
+            x_in = pre_embedded
+        else:
+            B, bins, P, H, Wd = x.shape
+            x_in = x
         unet = SpikingformerMultiResUNet(
             swin=self.swin, cfg=self.cfg, num_bins=self.num_bins,
             base_num_channels=self.base_num_channels,
@@ -209,9 +226,11 @@ class SpikingformerFlowNet(nn.Module):
             name="sttmultires_unet")
         attns = None
         if log:
-            preds, attns = unet(x, train, log=True)
+            preds, attns = unet(x_in, train, log=True,
+                                pre_embedded=pre_embedded is not None)
         else:
-            preds = unet(x, train)
+            preds = unet(x_in, train,
+                         pre_embedded=pre_embedded is not None)
         flow_list = []
         for p in preds:                      # [T, B, h, w, 2]
             flow = p.sum(axis=0)             # sum spikes over time FIRST

@@ -24,7 +24,17 @@ Inference-only: the affine comes from BN running statistics (the reference
 evaluates with BN in eval mode, eval_DSEC_flow_SNN.py:199-217). Training and
 non-TPU backends keep the XLA path. Parity: every composed forward is tested
 against the flax module in tests/test_pallas_embed.py (interpret mode) and
-on-chip via the bench A/B.
+verified on chip.
+
+STATUS (round 3, measured): the composed per-layer path is SLOWER than the
+XLA module end to end (~12 vs 8.1 ms standalone embed) — the im2col tap
+copies (lane-rotates for dx != 0) and per-band DMA overhead cost more than
+the XLA layout tax they remove, and the stride-2 convs pay 4x FLOPs via
+decimation. Winning here needs a single polyphase megakernel keeping all
+embed stages VMEM-resident per row band (est. ~2.5-3.5 ms); these kernels
+are the building blocks for that and stay OFF every default path
+(make_eval_step(fused_embed=True) opts in). Full numbers: PERF_NOTES.md
+round-3 section.
 
 Reference equivalent surface: MS_PED_Spiking_PatchEmbed_Conv_sfn
 (/root/reference/models/STSwinNet_SNN/Spiking_modules.py:1710-1837).
@@ -46,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _psn_cs_kernel(w_ref, b_ref, x_ref, o_ref, *, T: int):
-    # x block [T, C, bh, W]; w [T, T]; b [T] in SMEM
+    # x block [T, bc, bh, W]; w [T, T]; b [T] in SMEM
     x = x_ref[...]
     for t in range(T):
         acc = x[0].astype(jnp.float32) * w_ref[t, 0]
@@ -55,20 +65,31 @@ def _psn_cs_kernel(w_ref, b_ref, x_ref, o_ref, *, T: int):
         o_ref[t] = ((acc + b_ref[t]) >= 0.0).astype(o_ref.dtype)
 
 
-def psn_spike_cs(x, weight, bias, *, block_h: int = 8,
-                 out_dtype=None):
+def psn_spike_cs(x, weight, bias, *, block_h: int = 8, out_dtype=None,
+                 vmem_budget: int = 8 << 20):
     """PSN + heaviside on channels-second ``[T, C, H, W]`` arrays.
 
     ``weight`` [T, T], ``bias`` [T] (or [T, 1]). Returns 0/1 spikes with the
     same shape (dtype ``out_dtype`` or the input's). Lane dim is W: no
-    T-on-sublane padding, no relayout pressure on the neighbors.
+    T-on-sublane padding, no relayout pressure on the neighbors. Blocks are
+    chosen to keep pipelined in+out buffers under ``vmem_budget`` bytes.
     """
     T, C, H, W = x.shape
     out_dtype = out_dtype or x.dtype
     bh = min(block_h, H)
     while H % bh:
         bh -= 1
-    grid = (H // bh,)
+    # split channels until the double-buffered in+out blocks fit
+    itemsize = jnp.dtype(x.dtype).itemsize + jnp.dtype(out_dtype).itemsize
+    bc = C
+    while bc > 1 and 2 * T * bc * bh * W * itemsize > vmem_budget:
+        for d in range(bc - 1, 0, -1):
+            if C % d == 0 and d < bc:
+                bc = d
+                break
+        else:
+            break
+    grid = (H // bh, C // bc)
     return pl.pallas_call(
         functools.partial(_psn_cs_kernel, T=T),
         out_shape=jax.ShapeDtypeStruct((T, C, H, W), out_dtype),
@@ -76,10 +97,10 @@ def psn_spike_cs(x, weight, bias, *, block_h: int = 8,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((T, C, bh, W), lambda r: (0, 0, r, 0),
+            pl.BlockSpec((T, bc, bh, W), lambda r, c: (0, c, r, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T, C, bh, W), lambda r: (0, 0, r, 0),
+        out_specs=pl.BlockSpec((T, bc, bh, W), lambda r, c: (0, c, r, 0),
                                memory_space=pltpu.VMEM),
     )(weight.astype(jnp.float32), bias.reshape(-1).astype(jnp.float32), x)
 
@@ -88,30 +109,50 @@ def psn_spike_cs(x, weight, bias, *, block_h: int = 8,
 # 3x3 / 1x1 conv + affine kernel (channels-second)
 
 
-def _conv_cs_kernel(k_ref, a_ref, b_ref, x_hbm, o_ref, xbuf, sem, *,
+def _conv_cs_kernel(k_ref, a_ref, b_ref, x_hbm, o_ref, xbuf, imcol, sem, *,
                     T: int, cin: int, cout: int, bh: int, width: int,
-                    ksize: int, f32_dots: bool):
-    r = pl.program_id(0)
-    t = pl.program_id(1)
+                    ksize: int, f32_dots: bool, nsteps: int):
+    step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     halo = ksize // 2
-    rows = bh + 2 * halo
-    # manual halo'd DMA: rows [r*bh, r*bh + rows) of the pre-padded x[t].
-    # Mosaic requires DMA slice sizes 8-aligned on the sublane dim, so the
-    # buffer holds an aligned row window (rows rounded up to 8) and the
-    # kernel uses its first `rows` rows; x is padded accordingly.
-    dma = pltpu.make_async_copy(
-        x_hbm.at[t, :, pl.ds(r * bh, xbuf.shape[1]), :], xbuf, sem)
-    dma.start()
-    dma.wait()
-    x = xbuf[...]
-    acc = jnp.zeros((cout, bh * width), jnp.float32)
+    nrow = pl.num_programs(1)  # grid is (T, H//bh): r fastest
+
+    def win(s):
+        # step s -> (t, r) with r fastest; rows [r*bh, r*bh + rows_buf) of
+        # the pre-padded x[t]. Mosaic requires DMA slice sizes 8-aligned on
+        # the sublane dim, so the buffer holds an aligned row window and the
+        # kernel uses its first `bh + 2*halo` rows.
+        t_, r_ = s // nrow, s % nrow
+        return x_hbm.at[t_, :, pl.ds(r_ * bh, xbuf.shape[2]), :]
+
+    def dma(s):
+        slot = jax.lax.rem(s, 2)
+        return pltpu.make_async_copy(win(s), xbuf.at[slot], sem.at[slot])
+
+    # revolving double buffer: prefetch step+1 while computing this step
+    @pl.when(step == 0)
+    def _():
+        dma(0).start()
+
+    @pl.when(step + 1 < nsteps)
+    def _():
+        dma(step + 1).start()
+
+    dma(step).wait()
+    x = xbuf[jax.lax.rem(step, 2)]
     prec = jax.lax.Precision.HIGHEST if f32_dots else None
+    # im2col into a [k*k*cin, bh, width] scratch (one shifted copy per tap —
+    # Mosaic rejects reshapes OF lane-offset slices, but reshaping the full
+    # scratch value afterwards is an aligned relabel), then a single MXU dot
+    # [cout, k*k*cin] @ [k*k*cin, bh*width] per grid step.
     for dy in range(ksize):
         for dx in range(ksize):
-            xs = x[:, dy:dy + bh, dx:dx + width].reshape(cin, bh * width)
-            acc = acc + jax.lax.dot_general(
-                k_ref[dy * ksize + dx], xs, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
+            tap = dy * ksize + dx
+            imcol[tap * cin:(tap + 1) * cin] = x[:, dy:dy + bh,
+                                                 dx:dx + width]
+    im2 = imcol[...].reshape(ksize * ksize * cin, bh * width)
+    acc = jax.lax.dot_general(
+        k_ref[...], im2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
     acc = acc * a_ref[:, 0:1] + b_ref[:, 0:1]
     o_ref[0] = acc.reshape(cout, bh, width).astype(o_ref.dtype)
 
@@ -141,42 +182,44 @@ def conv3x3_affine_cs(x, kernel, scale=None, shift=None, *, block_h: int = 8,
     # pad W to a lane multiple, H by the halo (plus alignment slack for the
     # 8-row-aligned DMA window) so the kernel's DMA slices stay in range;
     # padded columns/rows produce garbage outputs that are cropped.
-    Wp = -(-W // 128) * 128 if ksize > 1 else W
-    wpad = Wp - W
+    Wp = -(-W // 128) * 128
     rows_buf = -(-(bh + 2 * halo) // 8) * 8
     bot_pad = (rows_buf - bh) + halo  # max DMA end = (H/bh-1)*bh + rows_buf
     xp = jnp.pad(x, ((0, 0), (0, 0), (halo, bot_pad), (0, 0)))
     # the DMA buffer's lane dim must itself be 128-aligned
-    buf_w = -(-(Wp + 2 * halo) // 128) * 128 if ksize > 1 else W
-    if ksize > 1:
-        # zero columns: data at [halo, halo + W), rest zero-padding
-        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0),
-                          (halo, buf_w - W - halo)))
-    k_mat = kernel.reshape(ksize * ksize, cin, cout).transpose(0, 2, 1)
+    buf_w = -(-(Wp + 2 * halo) // 128) * 128
+    # zero columns: data at [halo, halo + W), rest zero-padding
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (halo, buf_w - W - halo)))
+    # [cout, k*k*cin] with rows matching the im2col tap order
+    k_mat = (kernel.reshape(ksize * ksize, cin, cout)
+             .transpose(2, 0, 1).reshape(cout, ksize * ksize * cin))
     a = (jnp.ones((cout,), jnp.float32) if scale is None
          else scale.astype(jnp.float32))
     b = (jnp.zeros((cout,), jnp.float32) if shift is None
          else shift.astype(jnp.float32))
-    kw = Wp if ksize > 1 else W
+    kw = Wp
+    nsteps = T * (H // bh)
     out = pl.pallas_call(
         functools.partial(_conv_cs_kernel, T=T, cin=cin, cout=cout, bh=bh,
-                          width=kw, ksize=ksize, f32_dots=f32_dots),
+                          width=kw, ksize=ksize, f32_dots=f32_dots,
+                          nsteps=nsteps),
         out_shape=jax.ShapeDtypeStruct((T, cout, H, kw), out_dtype),
-        grid=(H // bh, T),
+        grid=(T, H // bh),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # k_mat (small)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # a
             pl.BlockSpec(memory_space=pltpu.VMEM),   # b
             pl.BlockSpec(memory_space=pl.ANY),       # x (manual DMA)
         ],
-        out_specs=pl.BlockSpec((1, cout, bh, kw), lambda r, t: (t, 0, r, 0),
+        out_specs=pl.BlockSpec((1, cout, bh, kw), lambda t, r: (t, 0, r, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((cin, rows_buf, buf_w), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, cin, rows_buf, buf_w), x.dtype),
+            pltpu.VMEM((ksize * ksize * cin, bh, kw), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(k_mat.astype(x.dtype), a.reshape(cout, 1), b.reshape(cout, 1), xp)
-    if ksize > 1 and (wpad or True):
+    if Wp != W:
         out = out[..., :W]
     return out
 

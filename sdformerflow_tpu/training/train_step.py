@@ -168,7 +168,8 @@ def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
 
 def make_eval_step(*, encoding="voxel", polarity=True, norm_input="minmax",
                    spike_th=None, use_batch_stats=False, compute_dtype=None,
-                   collect_spike_rates=False, voxelize=None):
+                   collect_spike_rates=False, voxelize=None,
+                   fused_embed=False, num_steps=None):
     """Build the jitted eval step returning the finest flow prediction.
 
     With ``voxelize=dict(num_bins, height, width)`` the step accepts a dict
@@ -189,7 +190,16 @@ def make_eval_step(*, encoding="voxel", polarity=True, norm_input="minmax",
     ``collect_spike_rates=True`` returns (flows, spike_rates) where
     spike_rates is the per-neuron-site firing-rate dict sown by
     SpikingNeuron (reference firing-rate monitors).
+
+    ``fused_embed=True`` (TPU inference fast path) computes the patch embed
+    via the channels-second Pallas kernels (ops/pallas_embed.py) and feeds
+    the model through its ``pre_embedded`` input. Only valid for the
+    Spikingformer models with the MS_PED embed, PSN neurons, running-stats
+    BN, and ``use_batch_stats=False``; requires ``num_steps``.
     """
+    if fused_embed:
+        assert not use_batch_stats, "fused_embed needs running-stats BN"
+        assert num_steps is not None
 
     def eval_step(state: TrainState, chunk):
         if voxelize is not None and isinstance(chunk, dict):
@@ -203,15 +213,23 @@ def make_eval_step(*, encoding="voxel", polarity=True, norm_input="minmax",
                 lambda a: a.astype(compute_dtype), params)
             x = x.astype(compute_dtype)
         variables = {"params": params, "batch_stats": bs}
+        kwargs = {}
+        if fused_embed:
+            from ..ops.pallas_embed import fused_embed_forward
+            ep = params["sttmultires_unet"]["encoders"]["patch_embed"]
+            es = (bs.get("sttmultires_unet", {}).get("encoders", {})
+                  .get("patch_embed", {}))
+            kwargs["pre_embedded"] = fused_embed_forward(
+                ep, es, x, num_steps=num_steps)
         mutable = ["batch_stats"] if use_batch_stats else []
         if collect_spike_rates:
             mutable = mutable + ["intermediates"]
         if mutable:
             out, mutated = state.apply_fn(
                 variables, x, use_batch_stats, mutable=mutable,
-                rngs={"droppath": jax.random.PRNGKey(0)})
+                rngs={"droppath": jax.random.PRNGKey(0)}, **kwargs)
         else:
-            out = state.apply_fn(variables, x, False)
+            out = state.apply_fn(variables, x, False, **kwargs)
             mutated = {}
         flows = [f.astype(jnp.float32) for f in out["flow"]]
         if collect_spike_rates:
