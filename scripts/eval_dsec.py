@@ -83,20 +83,42 @@ def main():
     crop = config["loader"].get("crop")
     batch_size = config["loader"]["batch_size"]
 
+    # raw-event-list mode: on-device voxelization (Pallas on TPU) + in-step
+    # center crop instead of preprocessed voxel tensors (reference offline
+    # equivalent: DSEC_dataloader/DSEC_dataset_preprocess.py feeding
+    # eval_DSEC_flow_SNN.py:199-217)
+    events_mode = (config["data"].get("events_input") == "list"
+                   or not config["data"].get("preprocessed", True))
     if args.synthetic:
-        from sdformerflow_tpu.data.dsec import SyntheticEventFlowDataset
         res = config["loader"]["resolution"]
-        dataset = SyntheticEventFlowDataset(
-            num_samples=16, num_bins=config["model"]["num_bins"],
-            height=res[0], width=res[1], seed=7)
+        kw = dict(num_samples=16, num_bins=config["model"]["num_bins"],
+                  height=res[0], width=res[1], seed=7)
+        if events_mode:
+            from sdformerflow_tpu.data.dsec import SyntheticEventListDataset
+            dataset = SyntheticEventListDataset(**kw)
+        else:
+            from sdformerflow_tpu.data.dsec import SyntheticEventFlowDataset
+            dataset = SyntheticEventFlowDataset(**kw)
+    elif events_mode:
+        from sdformerflow_tpu.data.dsec import DSECEventListDataset
+        dataset = DSECEventListDataset(config, "valid")
     else:
         from sdformerflow_tpu.data.dsec import DSECDatasetLite
         dataset = DSECDatasetLite(config, "valid")
 
     # init + optionally restore
-    sample, _, _ = dataset[0]
-    h, w = crop if crop else sample.shape[-2:]
-    sample_b = jnp.zeros((batch_size,) + sample.shape[:-2] + (h, w))
+    sample, _, label0 = dataset[0]
+    voxelize = None
+    if isinstance(sample, dict):
+        full_hw = label0.shape[-2:]
+        voxelize = dict(num_bins=config["data"].get("num_frames", 10),
+                        height=full_hw[0], width=full_hw[1])
+        h, w = crop if crop else full_hw
+        sample_b = jnp.zeros(
+            (batch_size, voxelize["num_bins"], h, w))
+    else:
+        h, w = crop if crop else sample.shape[-2:]
+        sample_b = jnp.zeros((batch_size,) + sample.shape[:-2] + (h, w))
     sample_enc = encode_input(sample_b, encoding=encoding, polarity=polarity,
                               norm_input=norm_input, spike_th=spike_th)
     tx = build_optimizer(lr=1e-4, steps_per_epoch=1)
@@ -124,7 +146,8 @@ def main():
         encoding=encoding, polarity=polarity, norm_input=norm_input,
         spike_th=spike_th, use_batch_stats=batch_size == 1,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
-        collect_spike_rates=collect_sites)
+        collect_spike_rates=collect_sites, voxelize=voxelize,
+        crop=tuple(crop) if (voxelize and crop) else None)
 
     vis = None
     if args.store_vis or args.store_submission:
@@ -144,11 +167,19 @@ def main():
                                              drop_last=False)):
         if i >= max_batches:
             break
-        chunk = jnp.asarray(batch["chunk"])
         label = jnp.asarray(batch["label"])
         mask = jnp.asarray(batch["mask"])
-        if crop:
-            chunk, label, mask = center_crop(chunk, label, mask, tuple(crop))
+        if "events" in batch:
+            chunk = jax.tree_util.tree_map(jnp.asarray, batch["events"])
+            if crop:
+                # crop GT/mask on host; the voxel crop happens in-step
+                _, label, mask = center_crop(label[:, :1] * 0, label, mask,
+                                             tuple(crop))
+        else:
+            chunk = jnp.asarray(batch["chunk"])
+            if crop:
+                chunk, label, mask = center_crop(chunk, label, mask,
+                                                 tuple(crop))
         step_out = eval_step(state, chunk)
         if collect_sites:
             flows, sites = step_out
@@ -170,7 +201,7 @@ def main():
             flows = step_out
         pred = flows[-1]
         m = mask
-        if mask_events:
+        if mask_events and not isinstance(chunk, dict):
             axes = (1, 2) if chunk.ndim == 5 else (1,)
             ev = (jnp.abs(chunk).sum(axis=axes) != 0)
             m = m * ev[:, None].astype(m.dtype)

@@ -39,16 +39,30 @@ def main():
     if args.path:
         config["data"]["path"] = args.path
 
+    # raw-event-list mode: events are voxelized ON DEVICE (Pallas on TPU)
+    # inside the jitted train/eval steps instead of read as preprocessed
+    # voxel tensors (reference offline equivalent:
+    # DSEC_dataloader/DSEC_dataset_preprocess.py -> train_..._SNN.py:229-299)
+    events_mode = (config["data"].get("events_input") == "list"
+                   or not config["data"].get("preprocessed", True))
     if args.synthetic:
-        from sdformerflow_tpu.data.dsec import SyntheticEventFlowDataset
         res = config["loader"]["resolution"]
-        train_ds = SyntheticEventFlowDataset(
-            num_samples=32, num_bins=config["model"]["num_bins"],
-            height=res[0], width=res[1], structured=args.structured)
-        valid_ds = SyntheticEventFlowDataset(
-            num_samples=8, num_bins=config["model"]["num_bins"],
-            height=res[0], width=res[1], seed=999,
-            structured=args.structured)
+        kw = dict(num_bins=config["model"]["num_bins"], height=res[0],
+                  width=res[1], structured=args.structured)
+        if events_mode:
+            from sdformerflow_tpu.data.dsec import SyntheticEventListDataset
+            train_ds = SyntheticEventListDataset(num_samples=32, **kw)
+            valid_ds = SyntheticEventListDataset(num_samples=8, seed=999,
+                                                 **kw)
+        else:
+            from sdformerflow_tpu.data.dsec import SyntheticEventFlowDataset
+            train_ds = SyntheticEventFlowDataset(num_samples=32, **kw)
+            valid_ds = SyntheticEventFlowDataset(num_samples=8, seed=999,
+                                                 **kw)
+    elif events_mode:
+        from sdformerflow_tpu.data.dsec import DSECEventListDataset
+        train_ds = DSECEventListDataset(config, "train")
+        valid_ds = DSECEventListDataset(config, "valid")
     else:
         from sdformerflow_tpu.data.dsec import DSECDatasetLite
         train_ds = DSECDatasetLite(config, "train")

@@ -177,10 +177,75 @@ class SyntheticEventFlowDataset:
         return chunk, mask, label
 
 
+class SyntheticEventListDataset:
+    """Synthetic raw-event-list samples (events dict + mask + label) for the
+    on-device voxelization path. Events are sampled from the magnitudes of a
+    SyntheticEventFlowDataset chunk, so ``voxelize -> encode`` reproduces
+    (approximately) the same input the preprocessed synthetic path sees —
+    the ``--structured`` moving-bar task stays learnable end to end."""
+
+    def __init__(self, num_samples=64, num_bins=10, height=288, width=384,
+                 seed=0, structured=False, events_per_cell=2,
+                 max_events=1 << 20):
+        self.base = SyntheticEventFlowDataset(
+            num_samples, num_bins, height, width, seed,
+            per_polarity=False, structured=structured)
+        self.events_per_cell = events_per_cell
+        self.max_events = max_events
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, idx):
+        from .. import native
+        chunk, mask, label = self.base[idx]
+        rng = np.random.default_rng(self.base.seed + 7919 * (idx + 1))
+        bins = chunk.shape[0]
+        b0, y0, x0 = np.nonzero(np.abs(chunk) > 0.05)
+        reps = self.events_per_cell
+        b = np.repeat(b0, reps)
+        yr, xr = np.repeat(y0, reps), np.repeat(x0, reps)
+        yf = (yr + rng.uniform(-0.5, 0.5, b.size)).clip(
+            0, chunk.shape[1] - 1)
+        xf = (xr + rng.uniform(-0.5, 0.5, b.size)).clip(
+            0, chunk.shape[2] - 1)
+        # timestamps uniformly inside each source bin; t normalized to [0,1]
+        t = (b + rng.uniform(0, 1, b.size)) / bins
+        p = (chunk[b, yr, xr] > 0).astype(np.uint8)
+        order = np.argsort(t, kind="stable")
+        n = min(b.size, self.max_events)
+        cap = 1 << max(int(n) - 1, 1).bit_length()
+        xs, ys, ts, ps, valid = native.pack_window(
+            xf[order][:n].astype(np.float32),
+            yf[order][:n].astype(np.float32),
+            t[order][:n].astype(np.float32),
+            p[order][:n].astype(np.float32), min(cap, self.max_events),
+            t0=0.0)
+        events = {"x": xs, "y": ys, "t": ts, "p": ps, "valid": valid}
+        return events, mask, label
+
+
+def _stack_events(event_dicts):
+    """Stack per-item padded event dicts, re-padding to the batch max."""
+    cap = max(d["x"].size for d in event_dicts)
+    out = {}
+    for key in ("x", "y", "t", "p", "valid"):
+        arrs = []
+        for d in event_dicts:
+            a = d[key]
+            if a.size < cap:
+                a = np.pad(a, (0, cap - a.size))
+            arrs.append(a)
+        out[key] = np.stack(arrs)
+    return out
+
+
 def batch_iterator(dataset, batch_size: int, *, shuffle=False, seed=0,
                    drop_last=True) -> Iterator[dict]:
     """Minimal host-side batcher yielding dict batches of stacked numpy
-    arrays: chunk [B, ...], mask [B, 1, H, W] float, label [B, 2, H, W]."""
+    arrays: chunk [B, ...], mask [B, 1, H, W] float, label [B, 2, H, W].
+    Items whose first element is an events dict (raw-list datasets) yield
+    ``events`` (dict of [B, N] buffers) instead of ``chunk``."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
@@ -189,8 +254,12 @@ def batch_iterator(dataset, batch_size: int, *, shuffle=False, seed=0,
         if drop_last and len(idxs) < batch_size:
             return
         chunks, masks, labels = zip(*(dataset[i] for i in idxs))
-        yield {
-            "chunk": np.stack(chunks),
+        batch = {
             "mask": np.stack(masks)[:, None].astype(np.float32),
             "label": np.stack(labels),
         }
+        if isinstance(chunks[0], dict):
+            batch["events"] = _stack_events(chunks)
+        else:
+            batch["chunk"] = np.stack(chunks)
+        yield batch

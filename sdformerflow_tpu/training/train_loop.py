@@ -41,12 +41,30 @@ def _sample_shape_batch(config, dataset):
     chunk, mask, label = dataset[0]
     crop = config["loader"].get("crop")
     b = config["loader"]["batch_size"]
+    if isinstance(chunk, dict):
+        # raw-events item: the model sees voxel grids of the label's
+        # spatial size at data.num_frames bins
+        h, w = label.shape[-2:]
+        return np.zeros((b, config["data"].get("num_frames", 10), h, w),
+                        np.float32)
     if crop is not None:
         h, w = crop
     else:
         h, w = chunk.shape[-2:]
     shape = chunk.shape[:-2] + (h, w)
     return np.zeros((b,) + shape, np.float32)
+
+
+def _events_voxelize_cfg(config, dataset):
+    """voxelize kwargs for make_train_step/make_eval_step when the dataset
+    yields raw event lists (data.events_input == 'list' or
+    data.preprocessed == false with list tensors)."""
+    chunk, mask, label = dataset[0]
+    if not isinstance(chunk, dict):
+        return None
+    h, w = label.shape[-2:]
+    return dict(num_bins=config["data"].get("num_frames", 10),
+                height=h, width=w)
 
 
 def train(config: dict, train_dataset, valid_dataset=None, *,
@@ -97,17 +115,19 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
     mesh = make_mesh()
     state = replicate(state, mesh)
 
+    voxelize = _events_voxelize_cfg(config, train_dataset)
     train_step = make_train_step(
         encoding=encoding, polarity=polarity and is_snn,
         norm_input=norm_input, spike_th=spike_th,
         flow_scaling=config["metrics"].get("flow_scaling", 1.0),
         gamma=loss_cfg.get("gamma"),
         mask_events=config["metrics"].get("mask_events", False),
-        compute_dtype=(jnp.bfloat16 if opt_cfg.get("use_amp") else None))
+        compute_dtype=(jnp.bfloat16 if opt_cfg.get("use_amp") else None),
+        voxelize=voxelize)
     eval_step = make_eval_step(
         encoding=encoding, polarity=polarity and is_snn,
         norm_input=norm_input, spike_th=spike_th,
-        use_batch_stats=batch_size == 1)
+        use_batch_stats=batch_size == 1, voxelize=voxelize)
 
     augment = build_train_augmentation(
         loader.get("augment"), loader.get("augment_prob"),
@@ -122,6 +142,7 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
         return ev, fl, mk, jax.random.fold_in(key, 1)
 
     prep_jit = jax.jit(_prep)
+    fold_jit = jax.jit(jax.random.fold_in)
 
     crop = loader.get("crop")
     best_loss = math.inf
@@ -133,10 +154,15 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
         batches = batch_iterator(train_dataset, batch_size, shuffle=True,
                                  seed=loader.get("seed", 0) + epoch)
         for batch in prefetch_to_device(batches, mesh):
-            ev, fl, mk, step_key = prep_jit(
-                rng, global_step, batch["chunk"], batch["label"],
-                batch["mask"])
-            batch = {"chunk": ev, "label": fl, "mask": mk}
+            if "events" in batch:
+                # raw-events path: voxelization happens on device inside the
+                # jitted train step; voxel-space augmentation does not apply
+                step_key = fold_jit(rng, global_step)
+            else:
+                ev, fl, mk, step_key = prep_jit(
+                    rng, global_step, batch["chunk"], batch["label"],
+                    batch["mask"])
+                batch = {"chunk": ev, "label": fl, "mask": mk}
             state, metrics = train_step(state, batch, step_key)
             loss = float(metrics["loss"])
             if math.isnan(loss):
@@ -177,11 +203,17 @@ def validate(config, state, eval_step, dataset, crop=None):
     for i, batch in enumerate(batch_iterator(dataset, batch_size)):
         if i >= max_batches:
             break
-        chunk = jnp.asarray(batch["chunk"])
         label = jnp.asarray(batch["label"])
         mask = jnp.asarray(batch["mask"])
-        if crop is not None:
-            chunk, label, mask = center_crop(chunk, label, mask, tuple(crop))
+        if "events" in batch:
+            # raw-events path: on-device voxelize inside eval_step (crop on
+            # voxels is not applied here — events validation runs full-res)
+            chunk = jax.tree_util.tree_map(jnp.asarray, batch["events"])
+        else:
+            chunk = jnp.asarray(batch["chunk"])
+            if crop is not None:
+                chunk, label, mask = center_crop(chunk, label, mask,
+                                                 tuple(crop))
         flows = eval_step(state, chunk)
         loss = flow_loss_supervised(
             flows, label, mask,

@@ -169,7 +169,7 @@ def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
 def make_eval_step(*, encoding="voxel", polarity=True, norm_input="minmax",
                    spike_th=None, use_batch_stats=False, compute_dtype=None,
                    collect_spike_rates=False, voxelize=None,
-                   fused_embed=False, num_steps=None):
+                   fused_embed=False, num_steps=None, crop=None):
     """Build the jitted eval step returning the finest flow prediction.
 
     With ``voxelize=dict(num_bins, height, width)`` the step accepts a dict
@@ -204,6 +204,14 @@ def make_eval_step(*, encoding="voxel", polarity=True, norm_input="minmax",
     def eval_step(state: TrainState, chunk):
         if voxelize is not None and isinstance(chunk, dict):
             chunk = voxelize_batch(chunk, **voxelize)
+        if crop is not None:
+            # DSEC eval protocol: voxelize at sensor resolution, then center
+            # crop (eval_DSEC_flow_SNN.py:199-217) — here both happen inside
+            # the same jitted step
+            ch, cw = crop
+            H, W = chunk.shape[-2:]
+            y0, x0 = (H - ch) // 2, (W - cw) // 2
+            chunk = chunk[..., y0:y0 + ch, x0:x0 + cw]
         x = encode_input(chunk, encoding=encoding, polarity=polarity,
                          norm_input=norm_input, spike_th=spike_th)
         params, bs = state.params, state.batch_stats
