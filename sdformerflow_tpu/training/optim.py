@@ -81,7 +81,23 @@ def build_optimizer(*, name: str = "AdamW", lr: float = 1e-4,
         schedule = lr
 
     if name.lower() == "adamw":
-        opt = optax.adamw(schedule, weight_decay=weight_decay)
+        # torch AdamW SKIPS parameters whose .grad is None — in the
+        # reference the attention-telemetry neuron (attn_sn, whose output
+        # attn_scores never reaches the loss) is exactly such a parameter
+        # set, so its params stay at init across training. optax computes
+        # structural zero gradients instead and would weight-decay them;
+        # mask the decay for those subtrees to match the trained reference
+        # checkpoints bit-for-bit (found by tests/test_train_step_parity.py).
+        def _decay_mask(params):
+            def walk(tree, unused):
+                if not isinstance(tree, dict):
+                    return not unused
+                return {k: walk(v, unused or k == "attn_sn")
+                        for k, v in tree.items()}
+            return walk(params, False)
+
+        opt = optax.adamw(schedule, weight_decay=weight_decay,
+                          mask=_decay_mask)
     elif name.lower() == "adam":
         opt = optax.adam(schedule)
     elif name.lower() == "sgd":
