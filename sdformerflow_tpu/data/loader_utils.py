@@ -126,7 +126,11 @@ def events_to_voxel_grid(event_sequence: EventSequence, num_bins: int,
         mask = grid != 0
         if mask.any():
             mean = grid[mask].mean()
-            std = grid[mask].std()
+            # torch .std() is UNBIASED (n-1) — the reference's
+            # EventSequenceToVoxelGrid_Pytorch normalizes with it
+            # (loader_utils.py:567-575); numpy's default is biased
+            # (found by tests/test_data_pipeline_parity.py)
+            std = grid[mask].std(ddof=1) if mask.sum() > 1 else 0.0
             if std > 0:
                 grid[mask] = (grid[mask] - mean) / std
             else:

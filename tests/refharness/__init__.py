@@ -83,3 +83,45 @@ def import_reference_models():
 def sj_functional():
     install_stubs()
     return sys.modules["spikingjelly.activation_based.functional"]
+
+
+def install_data_stubs():
+    """Register numba + torchvision stubs so the reference DATA-pipeline
+    modules (MDR_dataloader/loader_utils.py, DSEC_dataloader/*) import:
+    numba.jit becomes a passthrough decorator; torchvision provides the
+    ColorJitter / transforms surface the loaders reference but the flow
+    paths under test never execute."""
+    if "numba" not in sys.modules:
+        def _jit(*args, **kwargs):
+            if len(args) == 1 and callable(args[0]) and not kwargs:
+                return args[0]
+
+            def deco(fn):
+                return fn
+            return deco
+
+        _module("numba", jit=_jit, njit=_jit)
+    if "torchvision" not in sys.modules:
+        class _ColorJitter:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, x):
+                return x
+
+        tv = _module("torchvision")
+        transforms = _module("torchvision.transforms",
+                             ColorJitter=_ColorJitter)
+        tv.transforms = transforms
+    if "hdf5plugin" not in sys.modules:
+        _module("hdf5plugin", PLUGINS_PATH="/tmp")  # only for OPENING compressed h5
+
+
+def import_reference_loaders():
+    """Import the reference's data-pipeline modules (with data stubs)."""
+    install_data_stubs()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import MDR_dataloader.loader_utils as ref_lu  # noqa: E402
+    import DSEC_dataloader.event_representations as ref_er  # noqa: E402
+    return ref_lu, ref_er
