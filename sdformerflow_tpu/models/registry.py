@@ -76,6 +76,12 @@ def _smru(model_cfg, swin_cfg, spiking_cfg):
 
 def _sttflownet(model_cfg, swin_cfg, spiking_cfg, *, num_en):
     from .ann_flownet import STTFlowNet
+    # the reference ANN builders never plumb qk_scale (STSwinNet.py:61-100),
+    # so the ANN attention always uses head_dim**-0.5; the 0.125 default in
+    # training/config.py mirrors the SNN backbone's hard-coded ctor default
+    # (Spiking_swin_transformer3D.py:1150) and must not leak into the ANN
+    # family (found by tests/test_reference_parity_zoo.py swin-v1 A/B).
+    swin_cfg = swin_cfg.replace(qk_scale=None)
     return STTFlowNet(
         swin=swin_cfg,
         num_bins=model_cfg.get("num_bins", 10),

@@ -50,8 +50,12 @@ def _norm_rule(torch_prefix: str, flax_prefix: str, direct: bool = False):
     ]
 
 
+_GLIF_FIELDS = ("alpha", "beta", "gamma", "tau", "v_threshold",
+                "linear_decay", "v_subreset", "conduct")
+
+
 def _neuron_rules(torch_prefix, flax_prefix):
-    return [
+    rules = [
         (torch_prefix + ".spiking_neuron.weight", "params",
          flax_prefix + "/weight", "id"),   # PSN
         (torch_prefix + ".spiking_neuron.bias", "params",
@@ -59,6 +63,27 @@ def _neuron_rules(torch_prefix, flax_prefix):
         (torch_prefix + ".spiking_neuron.w", "params",
          flax_prefix + "/w", "id"),        # PLIF
     ]
+    for fld in _GLIF_FIELDS:               # GLIF (packed after conversion)
+        rules.append((f"{torch_prefix}.spiking_neuron.{fld}", "params",
+                      f"{flax_prefix}/glif/{fld}", "id"))
+    return rules
+
+
+def _pack_glif(tree):
+    """Convert dicts produced by the per-field GLIF rules into the
+    GLIFParams NamedTuple the flax neuron consumes (ops/neurons.py)."""
+    from ..ops.neurons import GLIFParams
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        if (k == "glif" and isinstance(v, dict)
+                and set(v) == set(_GLIF_FIELDS)):
+            out[k] = GLIFParams(**{f: np.asarray(v[f]).reshape(
+                np.asarray(v[f]).shape) for f in _GLIF_FIELDS})
+        else:
+            out[k] = _pack_glif(v)
+    return out
 
 
 def _conv_block_rules(t, f, *, has_sn=True, deconv=False, norm_direct=False):
@@ -295,6 +320,61 @@ def build_ann_rules(num_stages=3, max_depth=8, num_encoders=3,
 _TRANSFORMS["conv1x1"] = lambda a: a[..., 0, 0].T  # torch [O, I, 1, 1] -> [I, O]
 
 
+def build_unet_rules(num_encoders=4, num_res=2,
+                     use_upsample_conv=True) -> list:
+    """Rules for the plain spiking U-Net family (SpikingMultiResUNet,
+    /root/reference/models/STSwinNet_SNN/SNN_models.py:12-216): encoders.{i}
+    / resblocks.{i} / decoders.{i} / preds.{i} -> encoder{i} / resblock{i} /
+    decoder{i} / pred{i}. The upsample decoder's 'deconv' is a REGULAR conv
+    (bilinear resize + conv); only the transpose decoder stores a real
+    transposed-conv kernel."""
+    R = []
+    for i in range(num_encoders):
+        R += _conv_block_rules(f"encoders.{i}", f"encoder{i}")
+    for i in range(num_res):
+        R += _resblock_rules(f"resblocks.{i}", f"resblock{i}")
+    kind = "conv" if use_upsample_conv else "deconv"
+    for i in range(num_encoders):
+        t, f = f"decoders.{i}", f"decoder{i}"
+        R += [(f"{t}.deconv.0.weight", "params", f"{f}/deconv/kernel", kind),
+              (f"{t}.deconv.0.bias", "params", f"{f}/deconv/bias", "id")]
+        R += _norm_rule(f"{t}.norm_layer", f"{f}/norm")
+        R += _neuron_rules(f"{t}.sn", f"{f}/sn")
+    for i in range(num_encoders):
+        t, f = f"preds.{i}", f"pred{i}"
+        R += [(f"{t}.conv.0.weight", "params", f"{f}/conv/kernel", "conv"),
+              (f"{t}.conv.0.bias", "params", f"{f}/conv/bias", "id")]
+        R += _neuron_rules(f"{t}.sn", f"{f}/sn")
+    return R
+
+
+def convert_with_rules(state_dict: Dict[str, np.ndarray],
+                       rule_list) -> Tuple[dict, dict, list]:
+    """Generic torch state_dict -> (params, batch_stats, unmatched) given an
+    explicit rule list (used for the non-swin families)."""
+    rules = {t: (coll, path, tr) for t, coll, path, tr in rule_list}
+    params: dict = {}
+    batch_stats: dict = {}
+    unmatched = []
+    for key, val in state_dict.items():
+        key = re.sub(r"^module\.", "", key)
+        if key.endswith("num_batches_tracked"):
+            continue
+        if key.endswith(".spiking_neuron.v"):
+            continue  # membrane STATE buffer (reset to 0), not a parameter
+        if key not in rules:
+            unmatched.append(key)
+            continue
+        coll, path, tr = rules[key]
+        tree = params if coll == "params" else batch_stats
+        node = tree
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = _TRANSFORMS[tr](np.asarray(val))
+    return _pack_glif(params), batch_stats, unmatched
+
+
 def convert_state_dict(state_dict: Dict[str, np.ndarray],
                        num_stages=4, max_depth=8,
                        num_encoders=4, family="snn") -> Tuple[dict, dict, list]:
@@ -312,6 +392,8 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray],
         key = re.sub(r"^module\.", "", key)  # DataParallel prefix
         if key.endswith("num_batches_tracked"):
             continue
+        if key.endswith(".spiking_neuron.v"):
+            continue  # membrane STATE buffer (reset to 0), not a parameter
         if key not in rules:
             unmatched.append(key)
             continue
@@ -322,7 +404,7 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray],
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = _TRANSFORMS[tr](np.asarray(val))
-    return params, batch_stats, unmatched
+    return _pack_glif(params), batch_stats, unmatched
 
 
 def flax_to_torch_key(coll: str, path: str, num_stages=4, max_depth=8,
