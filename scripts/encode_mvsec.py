@@ -36,7 +36,12 @@ def encode_events(raw_events, image_raw_event_inds, image_raw_ts, event_dir,
         out = os.path.join(event_dir, f"{i:06d}.h5")
         if os.path.exists(out):
             continue
-        lo = (0 if image_raw_event_inds[i - 1] < 0 or i == 0
+        # reference quirk (MVSEC_encoder.py:52-57): ``inds[i - 1]`` uses
+        # python NEGATIVE indexing at i == 0, so frame 0 slices from the
+        # LAST frame's index — an empty window — and is silently skipped
+        # whenever inds[-1] >= 0. Kept bit-for-bit (verified by
+        # tests/test_mvsec_dsec_loader_parity.py).
+        lo = (0 if image_raw_event_inds[i - 1] < 0
               else int(image_raw_event_inds[i - 1]))
         hi = int(image_raw_event_inds[i + dt_time - 1])
         frame = np.asarray(raw_events[lo:hi])

@@ -227,7 +227,9 @@ class SpikingNorm(nn.Module):
         if norm in ("GN", "IN", "LN"):
             groups = {"GN": max(self.channels // 16, 1),
                       "IN": self.channels, "LN": 1}[norm]
-            return nn.GroupNorm(num_groups=groups,
+            # torch GroupNorm eps is 1e-5; flax defaults to 1e-6 (found by
+            # tests/test_norm_module_parity.py)
+            return nn.GroupNorm(num_groups=groups, epsilon=1e-5,
                                 reduction_axes=(-3, -2, -1))(x)
         raise ValueError(f"unknown norm {norm!r}")
 
