@@ -20,6 +20,61 @@ class SkipNonFiniteState(NamedTuple):
     inner_state: optax.OptState
 
 
+class GradNormGuardState(NamedTuple):
+    notfinite_count: jnp.ndarray  # total skipped steps (observability)
+    grad_norm: jnp.ndarray        # raw (pre-clip) global grad norm, f32
+    inner_state: optax.OptState
+
+
+def clip_and_skip_by_global_norm(
+        inner: optax.GradientTransformation,
+        max_norm: Optional[float] = None) -> optax.GradientTransformation:
+    """Fuse clip-by-global-norm, non-finite skipping, and grad-norm
+    telemetry into ONE ``global_norm`` reduction.
+
+    ``chain(clip_by_global_norm, opt)`` wrapped in skip_nonfinite_updates
+    plus a metrics-side ``optax.global_norm(grads)`` computes the same
+    full-tree reduction three times per step; each pass re-reads (and on
+    the bf16 path re-converts) every gradient leaf from HBM. This
+    transform computes the norm once, exposes it in the state
+    (``GradNormGuardState.grad_norm``) for metrics, and preserves the
+    exact semantics of the unfused stack:
+
+    - clipping matches ``optax.clip_by_global_norm``
+      (``(t / g_norm.astype(t.dtype)) * max_norm`` when ``g_norm >=
+      max_norm``), the reference's ``clip_grad_norm_(100)``
+      (train_flow_parallel_supervised_SNN.py:323-324);
+    - skipping matches :func:`skip_nonfinite_updates` (zero updates +
+      unchanged inner state when the norm is non-finite).
+    """
+
+    def init(params):
+        return GradNormGuardState(jnp.zeros([], jnp.int32),
+                                  jnp.zeros([], jnp.float32),
+                                  inner.init(params))
+
+    def update(updates, state, params=None):
+        g_norm = optax.global_norm(updates)
+        ok = jnp.isfinite(g_norm)
+        if max_norm is not None:
+            trigger = g_norm < max_norm
+            updates = jax.tree_util.tree_map(
+                lambda t: jnp.where(trigger, t,
+                                    (t / g_norm.astype(t.dtype)) * max_norm),
+                updates)
+        new_updates, new_inner = inner.update(updates, state.inner_state,
+                                              params)
+        new_updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), new_updates)
+        new_inner = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_inner, state.inner_state)
+        count = state.notfinite_count + jnp.where(ok, 0, 1).astype(jnp.int32)
+        return new_updates, GradNormGuardState(
+            count, g_norm.astype(jnp.float32), new_inner)
+
+    return optax.GradientTransformation(init, update)
+
+
 def skip_nonfinite_updates(
         inner: optax.GradientTransformation) -> optax.GradientTransformation:
     """Skip updates whose gradients contain NaN/inf — cheap variant of
@@ -105,17 +160,13 @@ def build_optimizer(*, name: str = "AdamW", lr: float = 1e-4,
     else:
         raise ValueError(f"unknown optimizer {name!r}")
 
-    parts = []
-    if clip_grad is not None:
-        parts.append(optax.clip_by_global_norm(clip_grad))
-    parts.append(opt)
-    tx = optax.chain(*parts)
     # skip non-finite updates instead of poisoning the params: pathological
     # batches (e.g. an event-free crop, where every BatchNorm amplifies
     # gradients by ~1/sqrt(eps)) can overflow the gradient norm; torch's
     # clip_grad_norm_ scales such grads to ~zero, and this is the optax
-    # equivalent (see skip_nonfinite_updates for why not apply_if_finite)
-    tx = skip_nonfinite_updates(tx)
+    # equivalent (see skip_nonfinite_updates for why not apply_if_finite).
+    # Clip + skip + telemetry share one fused global_norm pass.
+    tx = clip_and_skip_by_global_norm(opt, max_norm=clip_grad)
     if num_acc > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=num_acc)
     return tx

@@ -28,6 +28,7 @@ from flax.core import FrozenDict
 
 from ..losses import flow_loss_supervised
 from ..ops.normalization import encode_input
+from .optim import GradNormGuardState
 
 
 @struct.dataclass
@@ -157,8 +158,13 @@ def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
         updates, new_opt = state.tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss,
-                   "grad_norm": optax.global_norm(grads)}
+        # reuse the single fused norm pass from clip_and_skip_by_global_norm
+        # (optim.py) instead of a third full-tree reduction; fall back for
+        # custom tx stacks (e.g. MultiSteps, SGD tests) that don't carry it
+        gnorm = (new_opt.grad_norm
+                 if isinstance(new_opt, GradNormGuardState)
+                 else optax.global_norm(grads))
+        metrics = {"loss": loss, "grad_norm": gnorm}
         return dataclasses.replace(state, step=state.step + 1,
                                    params=new_params, batch_stats=new_bs,
                                    opt_state=new_opt), metrics
