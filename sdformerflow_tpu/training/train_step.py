@@ -106,7 +106,7 @@ def voxelize_batch(events, *, num_bins, height, width, use_pallas=None):
 def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
                     spike_th=None, flow_scaling=1.0, gamma=None,
                     mask_events=False, donate=True, voxelize=None,
-                    compute_dtype=None):
+                    compute_dtype=None, remat=None):
     """Build the jitted train step. ``batch`` is a dict with
     chunk [B, bins, H, W] (signed voxels) or [B, bins, 2, H, W],
     label [B, 2, H, W], mask [B, 1, H, W].
@@ -137,6 +137,17 @@ def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
         loss = flow_loss_supervised(flows, label, mask,
                                     flow_scaling=flow_scaling, gamma=gamma)
         return loss, mutated["batch_stats"]
+
+    if remat is not None:
+        # rematerialization policy for the backward pass:
+        #   "dots"  — save conv/matmul outputs, recompute elementwise chains
+        #             (BN affines, PSN mixes, spikes) during the backward
+        #   "none_saveable" / "all" — recompute everything (min memory)
+        policy = {"dots": jax.checkpoint_policies.checkpoint_dots,
+                  "dots_no_batch": (jax.checkpoint_policies
+                                    .dots_with_no_batch_dims_saveable),
+                  "all": jax.checkpoint_policies.nothing_saveable}[remat]
+        loss_fn = jax.checkpoint(loss_fn, policy=policy)
 
     def train_step(state: TrainState, batch, rng):
         if voxelize is not None and "events" in batch:

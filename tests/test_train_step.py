@@ -127,3 +127,32 @@ def test_eval_step_from_raw_events(state_and_steps):
     flows = eval_step(state, events)
     assert flows[-1].shape == (B, 2, H, W)
     assert np.isfinite(np.asarray(flows[-1])).all()
+
+
+def test_remat_policies_match_unremat():
+    """jax.checkpoint over the loss is a memory lever, not a semantic one.
+    SGD(1) trick (as in test_multichip_equivalence): params_delta == -grads,
+    so comparing post-step params compares the gradients themselves —
+    AdamW's sqrt(nu) normalization would amplify near-zero-grad recompute
+    noise into O(lr) sign flips and hide the real comparison."""
+    import optax
+    model = _tiny_model()
+    tx = optax.sgd(1.0)
+    batch = _batch()
+    from sdformerflow_tpu.ops.normalization import encode_input
+    sample = encode_input(batch["chunk"])
+    state = create_train_state(model, tx, sample, jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(7)
+    base_state, base_m = make_train_step(donate=False)(state, batch, rng)
+    remat_state, remat_m = make_train_step(donate=False, remat="dots")(
+        state, batch, rng)
+    assert np.allclose(float(base_m["loss"]), float(remat_m["loss"]),
+                       rtol=1e-6)
+    assert np.allclose(float(base_m["grad_norm"]),
+                       float(remat_m["grad_norm"]), rtol=1e-5)
+    # params_delta == -grads; f32 recompute reassociates reductions, so
+    # allow tiny absolute noise relative to the grad scale
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        base_state.params, remat_state.params)
