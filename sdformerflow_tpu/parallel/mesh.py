@@ -51,13 +51,77 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
+def host_prefetch(iterator, size: int = 2):
+    """Run the host-side batch producer (dataset indexing, event packing,
+    numpy collation, augmentation RNG) in a background thread with a
+    bounded queue so it overlaps device compute.
+
+    The reference gets this from torch DataLoader worker processes
+    (``num_workers``, /root/reference/train_flow_parallel_supervised_SNN.py
+    loader construction); on the 1-CPU TPU host a single background thread
+    is the right amount of parallelism — the producer is IO/numpy-bound
+    and releases the GIL in the C++ pack kernels and numpy ops.
+
+    Producer exceptions re-raise in the consumer; closing the generator
+    (early ``break``) stops the thread promptly via a stop flag.
+    """
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=size)
+    stop = threading.Event()
+    end = object()
+    errs = []
+
+    def worker():
+        try:
+            for item in iterator:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            errs.append(e)
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(end, timeout=0.1)
+                    break
+                except queue_mod.Full:
+                    continue
+
+    thread = threading.Thread(target=worker, daemon=True,
+                              name="host-prefetch")
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is end:
+                if errs:
+                    raise errs[0]
+                return
+            yield item
+    finally:
+        stop.set()
+
+
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2,
+                       host_threads: bool = True):
     """Double-buffered host->device transfer: keep ``size`` batches in
     flight so the H2D copy of batch k+1 overlaps the compute of batch k
-    (device_put is asynchronous)."""
+    (device_put is asynchronous). With ``host_threads`` the host-side
+    producer additionally runs in a background thread (host_prefetch), so
+    dataset work overlaps device compute instead of running between
+    steps."""
     import collections
     import jax.numpy as jnp
 
+    if host_threads:
+        iterator = host_prefetch(iterator, size=size)
     queue = collections.deque()
     for batch in iterator:
         queue.append(shard_batch(

@@ -148,9 +148,31 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
     best_loss = math.inf
     global_step = 0
     n_epochs = loader.get("n_epochs", 60)
+    # ``float(loss)`` every step forces a host<->device round trip that
+    # serializes the dispatch pipeline (costly through the tunnel; the
+    # reference's .item() per step has the same bug on GPU). Keep losses as
+    # device scalars and fetch a block at a time: ``sync_every`` bounds how
+    # far the host runs ahead and how late a NaN is reported (params are
+    # already protected by the optimizer's non-finite skip, optim.py).
+    sync_every = loader.get("sync_every", 32)
+
     for epoch in range(start_epoch, n_epochs):
         epoch_loss, n_samples = 0.0, 0
+        pending = []  # un-fetched device loss scalars, one per step
         t0 = time.time()
+
+        def _drain():
+            nonlocal epoch_loss
+            if not pending:
+                return
+            vals = np.asarray(jax.device_get(jnp.stack(pending)))
+            if np.isnan(vals).any():
+                bad = global_step - len(pending) + int(
+                    np.isnan(vals).argmax())
+                raise RuntimeError(f"NaN loss at step {bad}")
+            epoch_loss += float(vals.sum()) * batch_size
+            pending.clear()
+
         batches = batch_iterator(train_dataset, batch_size, shuffle=True,
                                  seed=loader.get("seed", 0) + epoch)
         for batch in prefetch_to_device(batches, mesh):
@@ -164,14 +186,14 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
                     batch["mask"])
                 batch = {"chunk": ev, "label": fl, "mask": mk}
             state, metrics = train_step(state, batch, step_key)
-            loss = float(metrics["loss"])
-            if math.isnan(loss):
-                raise RuntimeError(f"NaN loss at step {global_step}")
-            epoch_loss += loss * batch_size
+            pending.append(metrics["loss"])
             n_samples += batch_size
             global_step += 1
+            if len(pending) >= sync_every:
+                _drain()
             if max_steps is not None and global_step >= max_steps:
                 break
+        _drain()
 
         epoch_loss /= max(n_samples, 1)
         logger.log_metric("train_loss", epoch_loss, epoch)
@@ -199,7 +221,10 @@ def validate(config, state, eval_step, dataset, crop=None):
     loader = config["loader"]
     batch_size = loader["batch_size"]
     max_batches = config["test"].get("sample", 40)
-    total, count = 0.0, 0
+    losses, count = [], 0
+    flow_scaling = config["metrics"].get("flow_scaling", 1.0)
+    loss_jit = jax.jit(lambda fl, la, mk: flow_loss_supervised(
+        fl, la, mk, flow_scaling=flow_scaling))
     for i, batch in enumerate(batch_iterator(dataset, batch_size)):
         if i >= max_batches:
             break
@@ -215,9 +240,9 @@ def validate(config, state, eval_step, dataset, crop=None):
                 chunk, label, mask = center_crop(chunk, label, mask,
                                                  tuple(crop))
         flows = eval_step(state, chunk)
-        loss = flow_loss_supervised(
-            flows, label, mask,
-            flow_scaling=config["metrics"].get("flow_scaling", 1.0))
-        total += float(loss) * batch_size
+        losses.append(loss_jit(flows, label, mask))  # device scalar
         count += batch_size
-    return total / max(count, 1)
+    if not losses:
+        return 0.0
+    total = float(np.asarray(jax.device_get(jnp.stack(losses))).sum())
+    return total * batch_size / max(count, 1)
