@@ -163,6 +163,22 @@ def main():
     spike_rates = None
     membrane = None
     n = 0
+    # one jitted dispatch per batch for the metric reductions; per-batch
+    # scalar means stay on device and are fetched once after the loop
+    # (a float() per metric per batch serializes the dispatch pipeline —
+    # see PERF_NOTES "Train-loop host pipeline")
+    want_aae = "AAE" in metric_names
+
+    @jax.jit
+    def metrics_jit(pred, label, m):
+        stats = aee_metrics(pred, label, m, flow_scaling)
+        out = {k: stats[k].mean()
+               for k in ("AEE", "PE1", "PE2", "PE3", "outlier")}
+        if want_aae:
+            out["AAE"] = aae_metric(pred, label, m, flow_scaling)
+        return out
+
+    pending = []  # device metric dicts, one per batch
     for i, batch in enumerate(batch_iterator(dataset, batch_size,
                                              drop_last=False)):
         if i >= max_batches:
@@ -205,11 +221,7 @@ def main():
             axes = (1, 2) if chunk.ndim == 5 else (1,)
             ev = (jnp.abs(chunk).sum(axis=axes) != 0)
             m = m * ev[:, None].astype(m.dtype)
-        stats = aee_metrics(pred, label, m, flow_scaling)
-        for k in ("AEE", "PE1", "PE2", "PE3", "outlier"):
-            acc[k].append(float(np.asarray(stats[k]).mean()))
-        if "AAE" in metric_names:
-            acc["AAE"].append(float(aae_metric(pred, label, m, flow_scaling)))
+        pending.append(metrics_jit(pred, label, m))
         if vis is not None:
             sub = np.asarray(pred[0]) if args.store_submission else None
             vis.update(flow=np.asarray(pred[0]),
@@ -227,6 +239,11 @@ def main():
                         for k, a in enumerate(out["attn"] or [])})
         n += 1
 
+    if pending:
+        fetched = jax.device_get(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *pending))
+        for k, v in fetched.items():
+            acc[k] = [float(x) for x in np.asarray(v)]
     results = {k: float(np.mean(v)) for k, v in acc.items() if v}
     results["num_batches"] = n
     if spike_rates is not None:

@@ -101,6 +101,18 @@ def main():
     max_batches = config["test"].get("sample", 10 ** 9)
     acc = {k: [] for k in ("AEE", "PE1", "PE2", "PE3", "outlier", "AAE")}
     n = 0
+
+    # one jitted dispatch per batch; scalar metrics stay on device and are
+    # fetched once after the loop (see PERF_NOTES "Train-loop host pipeline")
+    @jax.jit
+    def metrics_jit(pred, label, m):
+        stats = aee_metrics(pred, label, m, flow_scaling)
+        out = {k: stats[k].mean()
+               for k in ("AEE", "PE1", "PE2", "PE3", "outlier")}
+        out["AAE"] = aae_metric(pred, label, m, flow_scaling)
+        return out
+
+    pending = []
     for i, batch in enumerate(batch_iterator(dataset, batch_size,
                                              drop_last=False)):
         if i >= max_batches:
@@ -109,12 +121,14 @@ def main():
         pred = flows[-1]
         label = jnp.asarray(batch["label"])
         mask = jnp.asarray(batch["mask"])
-        stats = aee_metrics(pred, label, mask, flow_scaling)
-        for k in ("AEE", "PE1", "PE2", "PE3", "outlier"):
-            acc[k].append(float(np.asarray(stats[k]).mean()))
-        acc["AAE"].append(float(aae_metric(pred, label, mask, flow_scaling)))
+        pending.append(metrics_jit(pred, label, mask))
         n += 1
 
+    if pending:
+        fetched = jax.device_get(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *pending))
+        for k, v in fetched.items():
+            acc[k] = [float(x) for x in np.asarray(v)]
     results = {k: float(np.mean(v)) for k, v in acc.items() if v}
     results["num_batches"] = n
     results["sequence"] = config["data"].get("test_sequence")
