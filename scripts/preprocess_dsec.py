@@ -199,6 +199,66 @@ def process_sequence(root, sequence, events_input="voxel", num_frames=10,
                                  f"{sequence}_{idx + 1:04d}.npy"), chunk)
 
 
+def write_split_csvs(root, train_sequences, valid_sequences,
+                     events_input="voxel", num_frames=10, signed=True):
+    """Generate ``saved_flow_data/sequence_lists/{train,valid}_split_seq.csv``
+    (and the ``_split_doubleseq.csv`` consecutive-pair variants) from the
+    tensors produced by :func:`process_sequence`.
+
+    The reference reads these CSVs from the dataset directory but never
+    generates them (DSEC_dataset_lite.py:68-76 assumes they exist) — this
+    closes that gap so a user can go from raw DSEC downloads to training
+    with this repo alone. Rows are event-tensor file names; a doubleseq row
+    pairs two consecutive GT windows of the same sequence (the reference
+    concatenates chunk1+chunk2 along bins and takes label/mask from the
+    second file, DSEC_dataset_lite.py:107-121).
+
+    Only windows whose GT flow/mask tensors exist are listed (test-server
+    sequences have no GT and get no rows).
+    """
+    import csv
+
+    save_base = os.path.join(root, "saved_flow_data")
+    sub = {"voxel": f"{num_frames:02d}bins" if signed
+           else f"{num_frames:02d}bins_pol",
+           "cnt": f"{num_frames:02d}frames",
+           "list": f"{num_frames:02d}lists"}[events_input]
+    lists_dir = os.path.join(save_base, "sequence_lists")
+    os.makedirs(lists_dir, exist_ok=True)
+
+    def rows_for(sequences):
+        single, double = [], []
+        for seq in sequences:
+            seq_dir = os.path.join(save_base, "event_tensors", sub, "left",
+                                   seq)
+            if not os.path.isdir(seq_dir):
+                continue
+            files = sorted(f for f in os.listdir(seq_dir)
+                           if f.endswith(".npy"))
+            with_gt = [f for f in files if os.path.isfile(
+                os.path.join(save_base, "gt_tensors", f))]
+            single.extend([f] for f in with_gt)
+            gt = set(with_gt)
+            for a, b in zip(files, files[1:]):
+                # consecutive windows: _0007.npy followed by _0008.npy
+                if (int(b.rsplit("_", 1)[1][:-4])
+                        == int(a.rsplit("_", 1)[1][:-4]) + 1 and b in gt):
+                    double.append([a, b])
+        return single, double
+
+    written = []
+    for split, seqs in (("train", train_sequences),
+                        ("valid", valid_sequences)):
+        single, double = rows_for(seqs)
+        for suffix, rows in ((f"{split}_split_seq.csv", single),
+                             (f"{split}_split_doubleseq.csv", double)):
+            path = os.path.join(lists_dir, suffix)
+            with open(path, "w", newline="") as f:
+                csv.writer(f).writerows(rows)
+            written.append((path, len(rows)))
+    return written
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True)
@@ -209,6 +269,12 @@ def main():
     ap.add_argument("--num_frames", type=int, default=10)
     ap.add_argument("--host", action="store_true",
                     help="voxelize on host numpy instead of the device")
+    ap.add_argument("--make_lists", action="store_true",
+                    help="after processing, write sequence_lists CSVs "
+                         "(train/valid splits) from the produced tensors")
+    ap.add_argument("--valid_seqs", default="zurich_city_05_a",
+                    help="comma-separated sequences held out as the valid "
+                         "split when --make_lists is set")
     args = ap.parse_args()
 
     sequences = [args.sequence] if args.sequence else TRAIN_SEQUENCES
@@ -216,6 +282,13 @@ def main():
         print(f"processing {seq}")
         process_sequence(args.root, seq, args.input, args.num_frames,
                          on_device=not args.host)
+
+    if args.make_lists:
+        valid = [s for s in args.valid_seqs.split(",") if s]
+        train = [s for s in sequences if s not in valid]
+        for path, n in write_split_csvs(args.root, train, valid,
+                                        args.input, args.num_frames):
+            print(f"wrote {path} ({n} rows)")
 
 
 if __name__ == "__main__":

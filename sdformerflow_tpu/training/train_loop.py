@@ -112,7 +112,12 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
         state, start_epoch = restore_checkpoint(f"{run_dir}/ckpt", state)
         start_epoch += 1
 
-    mesh = make_mesh()
+    # data-axis size must divide the global batch; default to the largest
+    # device count that does (a 2-sample batch on an 8-chip host runs dp2,
+    # not a shard error). loader.n_data overrides.
+    n_data = loader.get("n_data") or math.gcd(batch_size,
+                                              len(jax.devices()))
+    mesh = make_mesh(n_data=n_data)
     state = replicate(state, mesh)
 
     voxelize = _events_voxelize_cfg(config, train_dataset)
