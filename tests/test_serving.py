@@ -1,0 +1,137 @@
+"""FlowServer + HTTP serving surface (tiny model, CPU).
+
+The reference has no serving path (inference lives in the one-shot eval
+scripts); these tests pin the serving engine's contract: pipelined
+submissions resolve in order with correct shapes, raw-event requests are
+bucketed/voxelized on device, errors surface through futures, and the HTTP
+wrapper round-trips npz bodies.
+"""
+
+import io
+import json
+import sys
+import threading
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+from sdformerflow_tpu.serving import FlowServer, next_bucket  # noqa: E402
+
+H, W = 32, 48
+
+
+def _config():
+    yaml = pytest.importorskip("yaml")
+    cfg = yaml.safe_load((REPO / "configs" / "test_tiny_snn.yaml").
+                         read_text())
+    cfg["loader"]["resolution"] = [H, W]
+    cfg["loader"]["crop"] = None
+    cfg["loader"]["batch_size"] = 1
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def server():
+    with FlowServer(_config(), bf16=False) as s:
+        s.warmup()
+        yield s
+
+
+def test_next_bucket():
+    assert next_bucket(1) == 4096
+    assert next_bucket(4096) == 4096
+    assert next_bucket(4097) == 8192
+    assert next_bucket(100_000) == 131072
+
+
+def test_voxel_requests_pipeline(server):
+    rng = np.random.default_rng(0)
+    futs = [server.submit(rng.normal(size=(10, H, W)).astype(np.float32))
+            for _ in range(5)]
+    flows = [f.result(timeout=120) for f in futs]
+    for flow in flows:
+        assert flow.shape == (2, H, W)
+        assert np.isfinite(flow).all()
+    # deterministic: same input -> same output
+    x = rng.normal(size=(10, H, W)).astype(np.float32)
+    a = server.infer(x)
+    b = server.infer(x)
+    np.testing.assert_array_equal(a, b)
+    assert server.stats()["served"] >= 7
+    assert "latency_ms_p50" in server.stats()
+
+
+def test_event_requests_bucketed(server):
+    rng = np.random.default_rng(1)
+    for n in (1000, 3000):  # same 4096 bucket -> one compile
+        ev = {"x": rng.uniform(0, W - 1, n).astype(np.float32),
+              "y": rng.uniform(0, H - 1, n).astype(np.float32),
+              "t": np.sort(rng.uniform(0, 1, n)).astype(np.float32),
+              "p": rng.integers(0, 2, n).astype(np.float32)}
+        flow = server.infer(ev)
+        assert flow.shape == (2, H, W)
+        assert np.isfinite(flow).all()
+
+
+def test_events_match_precomputed_voxels(server):
+    """An events request must equal the voxel request of its own grid."""
+    import jax.numpy as jnp
+    from sdformerflow_tpu.ops.voxel import voxel_grid_signed
+
+    rng = np.random.default_rng(2)
+    n = 2000
+    ev = {"x": rng.uniform(0, W - 1, n).astype(np.float32),
+          "y": rng.uniform(0, H - 1, n).astype(np.float32),
+          "t": np.sort(rng.uniform(0, 1, n)).astype(np.float32),
+          "p": rng.integers(0, 2, n).astype(np.float32)}
+    grid = np.asarray(voxel_grid_signed(
+        jnp.asarray(ev["x"]), jnp.asarray(ev["y"]), jnp.asarray(ev["t"]),
+        jnp.asarray(ev["p"]), num_bins=10, height=H, width=W))
+    np.testing.assert_allclose(server.infer(ev), server.infer(grid),
+                               atol=1e-5)
+
+
+def test_error_surfaces_through_future(server):
+    with pytest.raises(Exception):
+        server.infer(np.zeros((3, 7), np.float32))  # bad rank
+    # server still alive afterwards
+    flow = server.infer(np.zeros((10, H, W), np.float32))
+    assert flow.shape == (2, H, W)
+
+
+def test_http_round_trip(server):
+    import serve as serve_mod  # noqa: E402
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                serve_mod.build_handler(server))
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz") as r:
+            assert r.read() == b"ok"
+
+        buf = io.BytesIO()
+        np.savez(buf, chunk=np.random.default_rng(3).normal(
+            size=(10, H, W)).astype(np.float32))
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/flow",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out["flow"].shape == (2, H, W)
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["served"] >= 1
+    finally:
+        httpd.shutdown()
+        thread.join(timeout=5)
