@@ -151,8 +151,12 @@ def main():
 
     vis = None
     if args.store_vis or args.store_submission:
-        from sdformerflow_tpu.utils.visualization import FlowVisualizer
-        vis = FlowVisualizer(f"{args.run_dir}/vis", store=True)
+        from sdformerflow_tpu.utils.visualization import (AsyncVisWriter,
+                                                          FlowVisualizer)
+        # fetch + PNG encode run on a background thread so artifact writing
+        # does not serialize the eval dispatch loop
+        vis = AsyncVisWriter(FlowVisualizer(f"{args.run_dir}/vis",
+                                            store=True))
 
     flow_scaling = config["metrics"].get("flow_scaling", 1.0)
     metric_names = config["metrics"].get("name", ["AEE"])
@@ -223,9 +227,10 @@ def main():
             m = m * ev[:, None].astype(m.dtype)
         pending.append(metrics_jit(pred, label, m))
         if vis is not None:
-            sub = np.asarray(pred[0]) if args.store_submission else None
-            vis.update(flow=np.asarray(pred[0]),
-                       gt_flow=np.asarray(label[0]), submission_flow=sub)
+            # device arrays handed off as-is; the writer thread fetches
+            vis.update(flow=pred[0], gt_flow=label[0],
+                       submission_flow=(pred[0] if args.store_submission
+                                        else None))
         if args.log_attn and i == 0:
             x = encode_input(chunk, encoding=encoding, polarity=polarity,
                              norm_input=norm_input, spike_th=spike_th)
@@ -239,6 +244,8 @@ def main():
                         for k, a in enumerate(out["attn"] or [])})
         n += 1
 
+    if vis is not None:
+        vis.close()  # drain the writer queue; re-raises writer errors
     if pending:
         fetched = jax.device_get(jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *pending))

@@ -101,3 +101,49 @@ class FlowVisualizer:
                                         f"{self.idx:06d}.png"),
                            np.asarray(submission_flow))
         self.idx += 1
+
+
+class AsyncVisWriter:
+    """Background-thread artifact writer around :class:`FlowVisualizer`.
+
+    ``update`` accepts device (or host) arrays and returns immediately; a
+    worker thread performs the device->host fetch and the PNG encode, so
+    per-batch visualization/submission writing no longer serializes the
+    eval dispatch loop (same pattern as parallel.mesh.host_prefetch on the
+    input side; the reference's writer blocks the loop,
+    eval_DSEC_flow_SNN.py:278-280). A bounded queue applies backpressure;
+    worker exceptions re-raise on ``close``.
+    """
+
+    def __init__(self, vis: FlowVisualizer, max_pending: int = 4):
+        import queue
+        import threading
+        self.vis = vis
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_pending)
+        self._errs: list = []
+        self._end = object()
+
+        def worker():
+            while True:
+                item = self._q.get()
+                if item is self._end:
+                    return
+                try:
+                    fetched = {k: np.asarray(v)
+                               for k, v in item.items() if v is not None}
+                    self.vis.update(**fetched)
+                except Exception as e:  # noqa: BLE001 — raised on close
+                    self._errs.append(e)
+
+        self._thread = threading.Thread(target=worker, daemon=True,
+                                        name="vis-writer")
+        self._thread.start()
+
+    def update(self, **arrays):
+        self._q.put(arrays)
+
+    def close(self):
+        self._q.put(self._end)
+        self._thread.join()
+        if self._errs:
+            raise self._errs[0]
