@@ -110,22 +110,25 @@ def host_prefetch(iterator, size: int = 2):
 
 
 def prefetch_to_device(iterator, mesh: Mesh, size: int = 2,
-                       host_threads: bool = True):
+                       host_threads: bool = True, put=None):
     """Double-buffered host->device transfer: keep ``size`` batches in
     flight so the H2D copy of batch k+1 overlaps the compute of batch k
     (device_put is asynchronous). With ``host_threads`` the host-side
     producer additionally runs in a background thread (host_prefetch), so
     dataset work overlaps device compute instead of running between
-    steps."""
+    steps. ``put`` overrides the batch->device function (multi-host
+    training passes parallel.multihost.global_batch)."""
     import collections
     import jax.numpy as jnp
 
+    if put is None:
+        put = lambda b: shard_batch(  # noqa: E731
+            jax.tree_util.tree_map(jnp.asarray, b), mesh)
     if host_threads:
         iterator = host_prefetch(iterator, size=size)
     queue = collections.deque()
     for batch in iterator:
-        queue.append(shard_batch(
-            jax.tree_util.tree_map(jnp.asarray, batch), mesh))
+        queue.append(put(batch))
         if len(queue) == size:
             yield queue.popleft()
     while queue:

@@ -28,7 +28,7 @@ from ..data.dsec import batch_iterator
 from ..losses import flow_loss_supervised
 from ..models import get_model
 from ..ops.normalization import encode_input
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import make_mesh, replicate
 from ..parallel.mesh import prefetch_to_device
 from ..utils.logging import RunLogger, count_parameters
 from .checkpoints import restore_checkpoint, save_checkpoint
@@ -79,7 +79,22 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
     model = get_model(name, model_cfg, swin_cfg, spiking_cfg)
 
     batch_size = loader["batch_size"]
-    steps_per_epoch = max(len(train_dataset) // batch_size, 1)
+    # multi-host: batch_size is the GLOBAL batch; each process feeds its
+    # local shard (the reference is single-process — SURVEY §2.10; the
+    # DistributedSampler equivalent is ProcessShardedDataset)
+    n_proc = jax.process_count()
+    local_bs = batch_size
+    if n_proc > 1:
+        from ..parallel import multihost as MH
+        if batch_size % n_proc:
+            raise ValueError(
+                f"global batch_size {batch_size} must be divisible by "
+                f"process_count {n_proc}")
+        local_bs = batch_size // n_proc
+        train_dataset = MH.ProcessShardedDataset(train_dataset)
+        if valid_dataset is not None:
+            valid_dataset = MH.ProcessShardedDataset(valid_dataset)
+    steps_per_epoch = max(len(train_dataset) // local_bs, 1)
     tx = build_optimizer(
         name=opt_cfg.get("name", "AdamW"), lr=opt_cfg.get("lr", 1e-4),
         weight_decay=opt_cfg.get("wd", 0.01),
@@ -103,7 +118,7 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
     rng = jax.random.PRNGKey(loader.get("seed", 0))
     state = create_train_state(model, tx, sample_enc, rng)
 
-    logger = RunLogger(run_dir, config)
+    logger = RunLogger(run_dir, config, enabled=jax.process_index() == 0)
     logger.log_artifact_dict("model_info.json", {
         "model": name, "params": count_parameters(state.params)})
 
@@ -112,13 +127,25 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
         state, start_epoch = restore_checkpoint(f"{run_dir}/ckpt", state)
         start_epoch += 1
 
-    # data-axis size must divide the global batch; default to the largest
-    # device count that does (a 2-sample batch on an 8-chip host runs dp2,
-    # not a shard error). loader.n_data overrides.
-    n_data = loader.get("n_data") or math.gcd(batch_size,
-                                              len(jax.devices()))
-    mesh = make_mesh(n_data=n_data)
-    state = replicate(state, mesh)
+    if n_proc > 1:
+        from ..parallel import multihost as MH
+        mesh = MH.make_multihost_mesh()
+        if batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"global batch_size {batch_size} must be divisible by the "
+                f"data-axis size {mesh.shape['data']}")
+        MH.establish_collectives(mesh)
+        state = MH.replicate_global(state, mesh)
+        put = lambda b: MH.global_batch(b, mesh)  # noqa: E731
+    else:
+        # data-axis size must divide the global batch; default to the
+        # largest device count that does (a 2-sample batch on an 8-chip
+        # host runs dp2, not a shard error). loader.n_data overrides.
+        n_data = loader.get("n_data") or math.gcd(batch_size,
+                                                  len(jax.devices()))
+        mesh = make_mesh(n_data=n_data)
+        state = replicate(state, mesh)
+        put = None
 
     voxelize = _events_voxelize_cfg(config, train_dataset)
     train_step = make_train_step(
@@ -178,9 +205,15 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
             epoch_loss += float(vals.sum()) * batch_size
             pending.clear()
 
-        batches = batch_iterator(train_dataset, batch_size, shuffle=True,
-                                 seed=loader.get("seed", 0) + epoch)
-        for batch in prefetch_to_device(batches, mesh):
+        if n_proc > 1:
+            # global shuffle (same seed on every process), then the local
+            # contiguous slice — epochs match single-host statistics
+            train_dataset.reshard(loader.get("seed", 0) + epoch)
+            batches = batch_iterator(train_dataset, local_bs)
+        else:
+            batches = batch_iterator(train_dataset, local_bs, shuffle=True,
+                                     seed=loader.get("seed", 0) + epoch)
+        for batch in prefetch_to_device(batches, mesh, put=put):
             if "events" in batch:
                 # raw-events path: voxelization happens on device inside the
                 # jitted train step; voxel-space augmentation does not apply
@@ -212,7 +245,7 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
         if (valid_dataset is not None
                 and epoch % config["test"].get("n_valid", 5) == 0):
             vloss = validate(config, state, eval_step, valid_dataset,
-                             crop=crop)
+                             crop=crop, batch_size=local_bs, put=put)
             logger.log_metric("valid_loss", vloss, epoch)
 
         if max_steps is not None and global_step >= max_steps:
@@ -222,9 +255,21 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
     return state
 
 
-def validate(config, state, eval_step, dataset, crop=None):
+def validate(config, state, eval_step, dataset, crop=None, batch_size=None,
+             put=None):
+    """Mean per-batch validation loss.
+
+    NB the loss VALUE is batch-size dependent by reference design:
+    mod_loss_function divides each sample's masked error sum by the
+    batch-GLOBAL valid count, then means over batch
+    (/root/reference/loss/flow_supervised.py:14-31,95-102), so loss scales
+    ~1/batch. Multi-host validation therefore must run on the assembled
+    GLOBAL batch (``put``, the same pipeline as training) — evaluating
+    local shards separately and averaging would report process_count x the
+    single-host value.
+    """
     loader = config["loader"]
-    batch_size = loader["batch_size"]
+    batch_size = batch_size or loader["batch_size"]
     max_batches = config["test"].get("sample", 40)
     losses, count = [], 0
     flow_scaling = config["metrics"].get("flow_scaling", 1.0)
@@ -239,11 +284,20 @@ def validate(config, state, eval_step, dataset, crop=None):
             # raw-events path: on-device voxelize inside eval_step (crop on
             # voxels is not applied here — events validation runs full-res)
             chunk = jax.tree_util.tree_map(jnp.asarray, batch["events"])
+            if put is not None:
+                g = put({"events": batch["events"], "label": batch["label"],
+                         "mask": batch["mask"]})
+                chunk, label, mask = g["events"], g["label"], g["mask"]
         else:
             chunk = jnp.asarray(batch["chunk"])
             if crop is not None:
                 chunk, label, mask = center_crop(chunk, label, mask,
                                                  tuple(crop))
+            if put is not None:
+                g = put({"chunk": np.asarray(chunk),
+                         "label": np.asarray(label),
+                         "mask": np.asarray(mask)})
+                chunk, label, mask = g["chunk"], g["label"], g["mask"]
         flows = eval_step(state, chunk)
         losses.append(loss_jit(flows, label, mask))  # device scalar
         count += batch_size

@@ -17,11 +17,17 @@ from typing import Any, Dict, Optional
 
 class RunLogger:
     def __init__(self, run_dir: str, config: Optional[dict] = None,
-                 use_mlflow: bool = False):
+                 use_mlflow: bool = False, enabled: bool = True):
+        """``enabled=False`` makes every method a no-op — non-zero processes
+        in multi-host training pass this so only process 0 writes files."""
         self.run_dir = run_dir
+        self.enabled = enabled
+        self._mlflow = None
+        if not enabled:
+            self._metrics_f = None
+            return
         os.makedirs(run_dir, exist_ok=True)
         self._metrics_f = open(os.path.join(run_dir, "metrics.jsonl"), "a")
-        self._mlflow = None
         if config is not None:
             with open(os.path.join(run_dir, "config.json"), "w") as f:
                 json.dump(config, f, indent=2, default=str)
@@ -37,6 +43,8 @@ class RunLogger:
                 self._mlflow = None
 
     def log_metric(self, name: str, value: float, step: int):
+        if not self.enabled:
+            return
         rec = {"ts": time.time(), "name": name, "value": float(value),
                "step": int(step)}
         self._metrics_f.write(json.dumps(rec) + "\n")
@@ -49,12 +57,15 @@ class RunLogger:
             self.log_metric(k, v, step)
 
     def log_artifact_dict(self, name: str, payload: dict):
+        if not self.enabled:
+            return
         path = os.path.join(self.run_dir, name)
         with open(path, "w") as f:
             json.dump(payload, f, indent=2, default=str)
 
     def close(self):
-        self._metrics_f.close()
+        if self._metrics_f is not None:
+            self._metrics_f.close()
         if self._mlflow is not None:
             self._mlflow.end_run()
 
