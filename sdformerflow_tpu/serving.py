@@ -186,16 +186,20 @@ class FlowServer:
     def _prepare(self, request):
         """Host-side prep + async device launch; returns the device flow."""
         if isinstance(request, dict):
-            from .ops.voxel import pad_events
-            x = np.asarray(request["x"], np.float32)
-            y = np.asarray(request["y"], np.float32)
-            t = np.asarray(request["t"], np.float32)
-            p = np.asarray(request["p"], np.float32)
-            bucket = next_bucket(len(x))
-            xp, yp, tp, pp, valid = pad_events(x, y, t, p, bucket)
-            ev = {k: jnp.asarray(v[None]) for k, v in
-                  (("x", xp), ("y", yp), ("t", tp), ("p", pp),
-                   ("valid", valid))}
+            n = len(request["x"])
+            bucket = next_bucket(n)
+            if n > bucket:
+                raise ValueError(f"{n} events exceed buffer {bucket}")
+            # one packed H2D transfer instead of five (one DMA launch on
+            # real hosts; one round trip through the axon tunnel here),
+            # sliced back into the x/y/t/p/valid dict on device
+            buf = np.zeros((5, bucket), np.float32)
+            for i, k in enumerate(("x", "y", "t", "p")):
+                buf[i, :n] = request[k]
+            buf[4, :n] = 1.0
+            dev = jnp.asarray(buf)
+            ev = {"x": dev[0][None], "y": dev[1][None], "t": dev[2][None],
+                  "p": dev[3][None], "valid": (dev[4] != 0)[None]}
             flows = self._events_step(self._state, ev)
         else:
             chunk = jnp.asarray(np.asarray(request, np.float32)[None])
