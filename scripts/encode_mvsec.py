@@ -29,7 +29,7 @@ from sdformerflow_tpu.data.loader_utils import (  # noqa: E402
 def encode_events(raw_events, image_raw_event_inds, image_raw_ts, event_dir,
                   dt_time: int = 1):
     """Slice events into [frame i-1, frame i+dt-1] windows, one .h5 each."""
-    import pandas as pd
+    from sdformerflow_tpu.data.loader_utils import write_events_h5
     os.makedirs(event_dir, exist_ok=True)
     n = image_raw_ts.shape[0] - (dt_time - 1)
     for i in range(n):
@@ -48,10 +48,8 @@ def encode_events(raw_events, image_raw_event_inds, image_raw_ts, event_dir,
         if frame.size == 0:
             continue
         # raw columns: x, y, ts, p -> store ts, x, y, p
-        df = pd.DataFrame(
-            np.stack([frame[:, 2], frame[:, 0], frame[:, 1], frame[:, 3]], 1),
-            columns=["ts", "x", "y", "p"])
-        df.to_hdf(out, key="myDataset")
+        write_events_h5(out, np.stack(
+            [frame[:, 2], frame[:, 0], frame[:, 1], frame[:, 3]], 1))
 
 
 def generate_flowgt(gt_file, image_raw_ts, flowgt_path, dt: int,

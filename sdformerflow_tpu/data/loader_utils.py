@@ -35,10 +35,47 @@ def get_compressed_events(event_path: str) -> np.ndarray:
 
 
 def get_events_h5(event_path: str) -> np.ndarray:
-    """Pandas-HDF event file -> [N, 4] float64 rows [ts, x, y, p]."""
-    import pandas as pd
-    f = pd.read_hdf(event_path, "myDataset")
-    return f[["ts", "x", "y", "p"]].to_numpy().astype(np.float64)
+    """Pandas-HDF event file -> [N, 4] float64 rows [ts, x, y, p].
+
+    Reads via pandas when pytables is installed (the container the
+    reference writes/reads, MVSEC_encoder.py:74 / loader_utils.py get_*);
+    otherwise falls back to h5py on the same fixed-format layout
+    (``myDataset/block0_values`` + ``block0_items``), so real MVSEC files
+    remain readable without the pytables dependency."""
+    try:
+        import pandas as pd
+        f = pd.read_hdf(event_path, "myDataset")
+        return f[["ts", "x", "y", "p"]].to_numpy().astype(np.float64)
+    except ImportError:
+        import h5py
+        with h5py.File(event_path, "r") as f:
+            g = f["myDataset"]
+            cols = [c.decode() if isinstance(c, bytes) else str(c)
+                    for c in g["block0_items"][()]]
+            vals = g["block0_values"][()]
+        idx = [cols.index(k) for k in ("ts", "x", "y", "p")]
+        return vals[:, idx].astype(np.float64)
+
+
+def write_events_h5(path: str, data: np.ndarray,
+                    columns=("ts", "x", "y", "p")):
+    """Write an event window as pandas-HDF (``DataFrame.to_hdf`` with
+    key='myDataset', the reference's container) when pytables is available;
+    otherwise an h5py file with the matching fixed-format dataset names so
+    :func:`get_events_h5` reads it back identically."""
+    try:
+        import pandas as pd
+        pd.DataFrame(np.asarray(data),
+                     columns=list(columns)).to_hdf(path, key="myDataset")
+    except ImportError:
+        import h5py
+        names = np.array([c.encode() for c in columns])
+        with h5py.File(path, "w") as f:
+            g = f.create_group("myDataset")
+            g.create_dataset("axis0", data=names)
+            g.create_dataset("block0_items", data=names)
+            g.create_dataset("block0_values",
+                             data=np.asarray(data, np.float64))
 
 
 def read_flo(flow_path: str) -> np.ndarray:
