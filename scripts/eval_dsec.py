@@ -55,6 +55,10 @@ def main():
                     help="bf16 inference path")
     ap.add_argument("--store_spike_rates", action="store_true",
                     help="record per-neuron-site firing rates (SNN only)")
+    ap.add_argument("--energy_report", action="store_true",
+                    help="firing-rate-weighted SynOps energy estimate "
+                         "(Spikformer convention; MS spikingformer family; "
+                         "implies --store_spike_rates)")
     ap.add_argument("--store_membrane", action="store_true",
                     help="record per-neuron-site membrane statistics "
                          "(mean/std/max per timestep; reference "
@@ -141,6 +145,8 @@ def main():
         state = dataclasses.replace(state, params=params, batch_stats=bs)
         print(f"converted torch checkpoint {args.torch_ckpt}")
 
+    if args.energy_report:
+        args.store_spike_rates = True
     collect_sites = args.store_spike_rates or args.store_membrane
     eval_step = make_eval_step(
         encoding=encoding, polarity=polarity, norm_input=norm_input,
@@ -255,10 +261,29 @@ def main():
     results["num_batches"] = n
     if spike_rates is not None:
         results["mean_firing_rate"] = float(np.mean(list(spike_rates.values())))
+    energy = None
+    if args.energy_report and spike_rates:
+        if name.startswith("MS_Spikingformer"):
+            from sdformerflow_tpu.utils.energy import energy_spikingformer
+            energy = energy_spikingformer(
+                swin_cfg, spike_rates, num_steps=spiking_cfg.num_steps,
+                base_channels=model_cfg.get("base_num_channels", 96),
+                num_encoders=model.num_encoders,
+                num_ch=2 if polarity else 1)
+            results["energy_mj"] = energy["energy_mj"]
+            results["snn_vs_ann_ratio"] = energy["snn_vs_ann_ratio"]
+        else:
+            print(f"--energy_report: SynOps mapping is scoped to the "
+                  f"MS spikingformer family (got {name}); skipped")
     logger = RunLogger(args.run_dir, config)
     logger.log_artifact_dict("results.json", results)
     if spike_rates is not None:
         logger.log_artifact_dict("spike_rates.json", spike_rates)
+    if energy is not None:
+        logger.log_artifact_dict("energy.json", energy)
+        print(f"energy: {energy['energy_mj']:.3f} mJ/forward "
+              f"({energy['snn_vs_ann_ratio']:.3f}x of the "
+              f"all-MAC ANN equivalent)")
     if membrane is not None:
         logger.log_artifact_dict("membrane_stats.json", membrane)
     logger.close()
