@@ -119,3 +119,32 @@ def test_energy_ann():
 
 def test_analog_sentinel_exported():
     assert ANALOG == "__analog__"
+
+
+def test_flagship_scale_record_map_alignment():
+    # depths (2,2,6,2) / window (2,9,9) / base 96 / en4 — the shipped
+    # architecture; every flops-record site (incl. the depth-6 stage)
+    # must have a rate mapping, and the join must complete
+    from sdformerflow_tpu.utils.energy import _site_rate_map
+    swin = SwinConfig(
+        arc_type="swinv1",
+        patch_embed_type="MS_PED_Spiking_PatchEmbed_Conv_sfn",
+        input_size=(288, 384), patch_size=(1, 1, 2, 2),
+        depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+        out_indices=(0, 1, 2, 3), window_size=(2, 9, 9),
+        qk_scale=0.125, drop_path_rate=0.2)
+    suffixes = set()
+    for v in _site_rate_map(swin.depths, 2, 4).values():
+        if isinstance(v, tuple):
+            suffixes.update(v)
+        elif v != "__analog__":
+            suffixes.add(v)
+    rates = {f"net.{s}": 0.1 for s in suffixes}
+    rep = energy_spikingformer(swin, rates, num_steps=10,
+                               base_channels=96, num_encoders=4)
+    assert len(rep["per_site"]) > 60  # 12 blocks x 6 sites + the rest
+    assert rep["energy_j"] > 0 and rep["acs"] > 0
+    # at uniform rate r every AC site satisfies ops == r * flops
+    for v in rep["per_site"].values():
+        if v["kind"] == "ac":
+            assert np.isclose(v["ops"], 0.1 * v["flops"])
