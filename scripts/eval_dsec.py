@@ -269,7 +269,8 @@ def main():
                 swin_cfg, spike_rates, num_steps=spiking_cfg.num_steps,
                 base_channels=model_cfg.get("base_num_channels", 96),
                 num_encoders=model.num_encoders,
-                num_ch=2 if polarity else 1)
+                num_ch=2 if polarity else 1,
+                kernel_size=model_cfg.get("kernel_size", 3))
             results["energy_mj"] = energy["energy_mj"]
             results["snn_vs_ann_ratio"] = energy["snn_vs_ann_ratio"]
         else:

@@ -154,7 +154,7 @@ def _flatten_record(record, prefix=()) -> Dict[Tuple[str, ...], int]:
 def energy_spikingformer(swin: SwinConfig, spike_rates, *, num_steps: int,
                          base_channels: int = 96, num_encoders: int = 4,
                          num_residual_blocks: int = 2, num_ch: int = 2,
-                         e_mac: float = E_MAC_J,
+                         kernel_size: int = 3, e_mac: float = E_MAC_J,
                          e_ac: float = E_AC_J) -> Dict:
     """Join the analytic flops record with measured firing rates.
 
@@ -173,7 +173,8 @@ def energy_spikingformer(swin: SwinConfig, spike_rates, *, num_steps: int,
     rates = normalize_spike_rates(spike_rates)
     record = _flatten_record(record_flops_spikingformer(
         swin, base_channels=base_channels, num_encoders=num_encoders,
-        num_residual_blocks=num_residual_blocks, num_ch=num_ch, ms=True))
+        num_residual_blocks=num_residual_blocks, num_ch=num_ch,
+        kernel_size=kernel_size, ms=True))
     site_map = _site_rate_map(swin.depths, num_residual_blocks,
                               num_encoders)
     wt = swin.window_size[0]
