@@ -111,15 +111,58 @@ def skip_nonfinite_updates(
 
 
 def multistep_schedule(lr: float, milestones: Sequence[int],
-                       steps_per_epoch: int, gamma: float = 0.5):
-    """MultiStepLR: multiply lr by gamma at each milestone epoch."""
-    boundaries = {int(m) * steps_per_epoch: gamma for m in milestones}
+                       updates_per_epoch: int, gamma: float = 0.5):
+    """MultiStepLR: multiply lr by gamma at each milestone epoch.
+
+    ``updates_per_epoch`` counts OPTIMIZER updates, not micro-batches: the
+    schedule count that optax threads into the inner transform advances
+    once per emitted update, so under gradient accumulation
+    (``optax.MultiSteps``) boundaries expressed in micro-steps would fire
+    ``num_acc``x too late. The reference steps MultiStepLR once per epoch
+    regardless of accumulation (train_flow_parallel_supervised_SNN.py:
+    488-489), i.e. epoch ``e`` trains at ``lr * gamma**|{m <= e}|``.
+    """
+    boundaries = {int(m) * updates_per_epoch: gamma for m in milestones}
     return optax.piecewise_constant_schedule(lr, boundaries)
 
 
-def onecycle_schedule(lr: float, total_steps: int):
-    return optax.cosine_onecycle_schedule(transition_steps=total_steps,
-                                          peak_value=lr)
+def onecycle_schedule(lr: float, n_epochs: int, updates_per_epoch: int,
+                      pct_start: float = 0.01, div_factor: float = 25.0,
+                      final_div_factor: float = 1e4, extra_steps: int = 100):
+    """Torch-exact OneCycleLR as the reference constructs AND steps it.
+
+    The reference builds ``OneCycleLR(max_lr=lr, total_steps=n_epochs+100,
+    pct_start=0.01, anneal_strategy='linear')``
+    (train_flow_parallel_supervised.py:174-181) and calls
+    ``scheduler.step()`` once per EPOCH (:398-399). Two consequences this
+    schedule reproduces exactly:
+
+    - the LR is a per-epoch staircase (constant within an epoch), not a
+      per-step ramp;
+    - because of the ``+100`` the run traverses only the first
+      ``n_epochs/(n_epochs+100)`` of the cycle — the LR never anneals to
+      ``min_lr``.
+
+    Piecewise-linear per torch's ``_annealing_linear``: warmup from
+    ``lr/div_factor`` to ``lr`` over ``pct_start*total-1`` steps, then
+    linear decay toward ``lr/div_factor/final_div_factor`` at
+    ``total-1``.
+    """
+    total = float(n_epochs + extra_steps)
+    initial = lr / div_factor
+    min_lr = initial / final_div_factor
+    end1 = pct_start * total - 1.0
+    end2 = total - 1.0
+
+    def schedule(count):
+        epoch = jnp.asarray(count) // updates_per_epoch
+        e = epoch.astype(jnp.result_type(float))
+        warm = initial + (lr - initial) * jnp.minimum(e, end1) / end1
+        pct = (jnp.minimum(e, end2) - end1) / (end2 - end1)
+        ann = lr + (min_lr - lr) * pct
+        return jnp.where(e <= end1, warm, ann)
+
+    return schedule
 
 
 def build_optimizer(*, name: str = "AdamW", lr: float = 1e-4,
@@ -128,10 +171,22 @@ def build_optimizer(*, name: str = "AdamW", lr: float = 1e-4,
                     steps_per_epoch: int = 1000, n_epochs: int = 60,
                     gamma: float = 0.5, clip_grad: Optional[float] = 100.0,
                     num_acc: int = 1) -> optax.GradientTransformation:
+    # Schedule counts advance per OPTIMIZER update (optax.MultiSteps holds
+    # the inner state frozen between emissions), while steps_per_epoch
+    # counts micro-batches; the reference emits ceil(batches/num_acc)
+    # optimizer steps per epoch (update every num_acc batches, flushing the
+    # remainder at epoch end — train_flow_parallel_supervised_SNN.py:
+    # 327-336). optax.MultiSteps carries a partial accumulation across the
+    # epoch boundary instead of flushing it, so when steps_per_epoch is not
+    # divisible by num_acc the update COUNT drifts from the reference by
+    # <1 update/epoch; the schedule mapping below is exact whenever it is
+    # divisible (and all reference configs train full epochs).
+    updates_per_epoch = max(-(-steps_per_epoch // num_acc), 1)
     if scheduler == "multistep":
-        schedule = multistep_schedule(lr, milestones, steps_per_epoch, gamma)
-    elif scheduler == "one_cycle":
-        schedule = onecycle_schedule(lr, steps_per_epoch * n_epochs)
+        schedule = multistep_schedule(lr, milestones, updates_per_epoch,
+                                      gamma)
+    elif scheduler in ("one_cycle", "cycle"):
+        schedule = onecycle_schedule(lr, n_epochs, updates_per_epoch)
     else:
         schedule = lr
 
@@ -168,5 +223,13 @@ def build_optimizer(*, name: str = "AdamW", lr: float = 1e-4,
     # Clip + skip + telemetry share one fused global_norm pass.
     tx = clip_and_skip_by_global_norm(opt, max_norm=clip_grad)
     if num_acc > 1:
+        # Deliberate deviation: the reference applies clip_grad_norm_ after
+        # EVERY micro-batch backward, re-clipping the partially accumulated
+        # gradient num_acc times (train_flow_parallel_supervised_SNN.py:
+        # 314-336); here the clip runs once on the accumulated mean.
+        # Identical whenever the global norm stays under max_norm (shipped
+        # configs clip at 100, far above observed norms ~O(1)); under
+        # active clipping the reference's result depends on accumulation
+        # order and cannot be expressed as a function of the mean gradient.
         tx = optax.MultiSteps(tx, every_k_schedule=num_acc)
     return tx

@@ -16,6 +16,8 @@ ANN/MDR variants) in one reusable loop:
 from __future__ import annotations
 
 import math
+import signal
+import threading
 import time
 from typing import Optional
 
@@ -70,6 +72,36 @@ def _events_voxelize_cfg(config, dataset):
 def train(config: dict, train_dataset, valid_dataset=None, *,
           run_dir: str = "runs/default", resume: bool = False,
           max_steps: Optional[int] = None):
+    # Preemption-safe shutdown: SIGTERM (what cluster schedulers send
+    # before a kill) sets a flag; the step loop drains pending losses,
+    # checkpoints the CURRENT state at the in-progress epoch, and returns
+    # cleanly — ``--resume`` continues at the next epoch. Installed at
+    # ENTRY so a signal landing during model build / compilation (minutes
+    # through the TPU tunnel) is caught too. The reference has no
+    # equivalent (a preempted run loses everything since the last
+    # best-epoch save, /root/reference/utils/utils.py:93-104).
+    # Single-host semantics; a multi-host orchestrator must deliver
+    # SIGTERM to every process (each saves via the same path it uses for
+    # best-epoch saves). Opt out with loader.save_on_preempt: false.
+    preempt_sig: dict = {}
+    prev_sigterm = None
+    if (config["loader"].get("save_on_preempt", True)
+            and threading.current_thread() is threading.main_thread()):
+        prev_sigterm = signal.signal(
+            signal.SIGTERM, lambda s, f: preempt_sig.setdefault("sig", s))
+    try:
+        return _train(config, train_dataset, valid_dataset,
+                      run_dir=run_dir, resume=resume, max_steps=max_steps,
+                      preempt_sig=preempt_sig)
+    finally:
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
+
+
+def _train(config: dict, train_dataset, valid_dataset=None, *,
+           run_dir: str = "runs/default", resume: bool = False,
+           max_steps: Optional[int] = None, preempt_sig: Optional[dict] = None):
+    preempt_sig = {} if preempt_sig is None else preempt_sig
     model_cfg, swin_cfg, spiking_cfg = build_configs(config)
     loader = config["loader"]
     loss_cfg = config["loss"]
@@ -177,8 +209,6 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
     fold_jit = jax.jit(jax.random.fold_in)
 
     crop = loader.get("crop")
-    best_loss = math.inf
-    global_step = 0
     n_epochs = loader.get("n_epochs", 60)
     # ``float(loss)`` every step forces a host<->device round trip that
     # serializes the dispatch pipeline (costly through the tunnel; the
@@ -187,6 +217,26 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
     # far the host runs ahead and how late a NaN is reported (params are
     # already protected by the optimizer's non-finite skip, optim.py).
     sync_every = loader.get("sync_every", 32)
+
+    try:
+        return _train_epochs(
+            config, state, train_dataset, valid_dataset, run_dir=run_dir,
+            start_epoch=start_epoch, n_epochs=n_epochs, max_steps=max_steps,
+            train_step=train_step, eval_step=eval_step, prep_jit=prep_jit,
+            fold_jit=fold_jit, rng=rng, mesh=mesh, put=put, crop=crop,
+            batch_size=batch_size, local_bs=local_bs, n_proc=n_proc,
+            loader=loader, logger=logger, sync_every=sync_every,
+            preempt_sig=preempt_sig)
+    finally:
+        logger.close()
+
+
+def _train_epochs(config, state, train_dataset, valid_dataset, *, run_dir,
+                  start_epoch, n_epochs, max_steps, train_step, eval_step,
+                  prep_jit, fold_jit, rng, mesh, put, crop, batch_size,
+                  local_bs, n_proc, loader, logger, sync_every, preempt_sig):
+    best_loss = math.inf
+    global_step = 0
 
     for epoch in range(start_epoch, n_epochs):
         epoch_loss, n_samples = 0.0, 0
@@ -231,7 +281,17 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
                 _drain()
             if max_steps is not None and global_step >= max_steps:
                 break
+            if preempt_sig:
+                break
         _drain()
+
+        if preempt_sig:
+            partial = epoch_loss / max(n_samples, 1)
+            save_checkpoint(f"{run_dir}/ckpt", state, epoch,
+                            metrics={"train_loss": partial,
+                                     "preempted": 1.0})
+            logger.log_metric("preempted_at_epoch", float(epoch), epoch)
+            break
 
         epoch_loss /= max(n_samples, 1)
         logger.log_metric("train_loss", epoch_loss, epoch)
@@ -251,7 +311,6 @@ def train(config: dict, train_dataset, valid_dataset=None, *,
         if max_steps is not None and global_step >= max_steps:
             break
 
-    logger.close()
     return state
 
 
