@@ -102,6 +102,13 @@ def main():
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 build_handler(server))
     print(f"serving on http://{args.host}:{args.port}", flush=True)
+    # graceful stop on SIGTERM (what orchestrators send): finish in-flight
+    # requests, then fall through to server.close(). shutdown() blocks
+    # until serve_forever returns, so call it from a helper thread.
+    import signal
+    import threading
+    signal.signal(signal.SIGTERM, lambda s, f: threading.Thread(
+        target=httpd.shutdown, daemon=True).start())
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
