@@ -69,7 +69,17 @@ def cosine_loss(flow, gt_flow, mask, num_valid_px, epsilon=1e-7):
 
 
 def sequence_loss(pred_list, gt_flow, valid, gamma=0.8, max_flow=MAX_FLOW):
-    """RAFT-style gamma-weighted L1 sequence loss with magnitude validity."""
+    """RAFT-style gamma-weighted L1 sequence loss with magnitude validity.
+
+    Matches the reference exactly at batch 1
+    (/root/reference/loss/flow_supervised.py:56-80,
+    tests/test_losses.py A/B). Deliberate deviation for batch > 1: the
+    reference ANDs ``valid [B,1,H,W]`` with ``mag [B,H,W]`` — a broadcast
+    to ``[B,B,H,W]`` that crashes for B > 2 and cross-pairs samples at
+    B == 2; here the mask stays per-sample ``[B,H,W]``. No shipped config
+    uses gamma (all set ``gamma: Null``), so no trained behavior depends
+    on the broken branch.
+    """
     n = len(pred_list)
     mag = jnp.sqrt((gt_flow ** 2).sum(axis=1))
     valid = (valid.squeeze(1) >= 0.5) & (mag < max_flow)

@@ -56,8 +56,17 @@ def test_checkpoint_round_trip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(restored.params),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # training continues from the restored state identically
+    # training continues from the restored state identically — the
+    # post-step PARAMS comparison is what exercises the restored
+    # opt_state (Adam moments + schedule counts); the loss alone is
+    # computed pre-update and would pass with a reset optimizer
     s1, m1 = step(restored, batch, jax.random.PRNGKey(3))
     s2, m2 = step(state, batch, jax.random.PRNGKey(3))
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.opt_state),
+                    jax.tree_util.tree_leaves(s2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

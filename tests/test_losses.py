@@ -70,3 +70,39 @@ def test_sequence_loss_gamma_weighting():
     l2 = losses.sequence_loss([pred, pred], gt, mask, gamma=0.8)
     # weights: [1] vs [0.8, 1.0] -> ratio 1.8
     np.testing.assert_allclose(float(l2) / float(l1), 1.8, rtol=1e-5)
+
+
+def test_sequence_loss_reference_ab_batch1():
+    """f64 A/B vs the reference's OWN sequence_loss at batch 1 — the only
+    batch size where the reference branch is well-formed (its valid/mag
+    AND broadcasts to [B,B,H,W]: crashes for B>2, cross-pairs samples at
+    B==2; see losses.sequence_loss docstring). Exercises the gamma
+    weighting, the >=0.5 valid threshold, and the mag<400 cutoff
+    (/root/reference/loss/flow_supervised.py:56-80)."""
+    import importlib
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    ref_mod = importlib.import_module("loss.flow_supervised")
+    loss_cfg = {"metrics": {"flow_scaling": 1.0},
+                "loss": {"lambda_mod": 1.0, "lambda_ang": 0.0}}
+    ref_loss = ref_mod.flow_loss_supervised(loss_cfg, device="cpu")
+
+    rng = np.random.default_rng(11)
+    gt = rng.normal(0, 2, (1, 2, 8, 8))
+    gt[0, :, 0, 0] = 500.0  # exercise the mag < 400 cutoff
+    preds = [gt + rng.normal(0, s, gt.shape) for s in (1.0, 0.5, 0.1)]
+    mask = rng.uniform(size=(1, 1, 8, 8))  # exercise the >= 0.5 threshold
+
+    want = ref_loss([torch.from_numpy(p) for p in preds],
+                    torch.from_numpy(gt), torch.from_numpy(mask),
+                    gamma=0.8)
+    import jax
+    with jax.enable_x64(True):
+        got = losses.flow_loss_supervised(
+            [jnp.asarray(p) for p in preds], jnp.asarray(gt),
+            jnp.asarray(mask), gamma=0.8)
+        np.testing.assert_allclose(float(got), float(want.item()),
+                                   rtol=1e-12)

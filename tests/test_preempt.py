@@ -30,16 +30,26 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     train_ds, valid_ds = make_datasets(cfg)
     run_dir = str(tmp_path / "run")
 
-    prev_handler = signal.getsignal(signal.SIGTERM)
-    timer = threading.Timer(
-        4.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
-    timer.start()
+    # Pre-ignore SIGTERM so a signal landing in the gap before train()
+    # installs its handler cannot kill pytest; then fire repeatedly until
+    # train() returns (the first shot to land inside train() is caught).
+    prev_handler = signal.signal(signal.SIGTERM, signal.SIG_IGN)
+    done = threading.Event()
+
+    def _fire():
+        while not done.wait(3.0):
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    firer = threading.Thread(target=_fire, daemon=True)
+    firer.start()
     try:
         t0 = time.time()
         state = train(cfg, train_ds, valid_ds, run_dir=run_dir)
         wall = time.time() - t0
     finally:
-        timer.cancel()
+        done.set()
+        firer.join()
+        signal.signal(signal.SIGTERM, prev_handler)
 
     # returned early with a checkpoint at the interrupted epoch
     assert state is not None
@@ -51,8 +61,6 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
                for line in Path(run_dir, "metrics.jsonl").read_text()
                .splitlines()]
     assert any(m.get("name") == "preempted_at_epoch" for m in metrics)
-    # the previous SIGTERM disposition was restored
-    assert signal.getsignal(signal.SIGTERM) == prev_handler
 
     # resume continues past the preemption point without error
     cfg["loader"]["n_epochs"] = saved + 3
