@@ -84,6 +84,14 @@ def main():
     ap.add_argument("--warmup_events", type=int, default=None,
                     help="compile the events bucket for this many events "
                          "at startup")
+    ap.add_argument("--warmup_all_buckets", action="store_true",
+                    help="also compile every smaller event bucket so no "
+                         "request ever hits first-arrival compile latency")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="serve over a data-parallel mesh of this many "
+                         "devices: concurrent compatible requests coalesce "
+                         "into one sharded batch (N devices -> ~N x "
+                         "throughput; per-window cost is batch-flat)")
     args = ap.parse_args()
 
     from sdformerflow_tpu.serving import FlowServer
@@ -96,9 +104,15 @@ def main():
     if args.eval_config:
         config = merge_eval_config(config, load_config(args.eval_config))
 
-    server = FlowServer(config, ckpt=args.ckpt, bf16=not args.no_bf16)
+    mesh = None
+    if args.dp > 1:
+        from sdformerflow_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_data=args.dp)
+    server = FlowServer(config, ckpt=args.ckpt, bf16=not args.no_bf16,
+                        mesh=mesh)
     print("warming up (compiling serving step)...", flush=True)
-    server.warmup(args.warmup_events)
+    server.warmup(args.warmup_events,
+                  all_buckets=args.warmup_all_buckets)
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 build_handler(server))
     print(f"serving on http://{args.host}:{args.port}", flush=True)

@@ -17,7 +17,12 @@ device->host fetch of request k.
   asynchronous, so launches run ahead of device completion);
 - a fetch thread that blocks on device results and resolves futures —
   the only thread that ever waits on the device;
-- request futures, so callers can pipeline as deep as they like.
+- request futures, so callers can pipeline as deep as they like;
+- optional mesh scaling: with ``mesh=`` the dispatch thread coalesces
+  compatible concurrent requests into ONE batch sharded over the mesh's
+  data axis — per-window device cost is batch-flat on one chip
+  (PERF_NOTES.md batch-scaling measurements), so N chips serve N
+  requests in one step's latency.
 
 ``scripts/serve.py`` wraps this in an HTTP endpoint.
 """
@@ -50,10 +55,16 @@ class FlowServer:
     state: a TrainState (already restored); or pass ``ckpt`` to restore.
     bf16: run the bf16 inference path (default True — the deployment path).
     max_pending: bound on in-flight requests before ``submit`` blocks.
+    mesh: a ``jax.sharding.Mesh`` to serve over — params replicated, up to
+        ``mesh.shape['data']`` concurrent compatible requests (same kind
+        and event bucket) coalesced into one data-sharded batch per step.
+    batch_window_s: how long the dispatcher waits for more requests to
+        fill a batch once one is in hand (only with ``mesh``).
     """
 
     def __init__(self, config: dict, state=None, *, ckpt: Optional[str] = None,
-                 bf16: bool = True, max_pending: int = 8):
+                 bf16: bool = True, max_pending: int = 8, mesh=None,
+                 batch_window_s: float = 0.002):
         from .models import get_model
         from .ops.normalization import encode_input
         from .training.config import build_configs
@@ -88,6 +99,12 @@ class FlowServer:
             if ckpt is not None:
                 from .training.checkpoints import restore_checkpoint
                 state, _ = restore_checkpoint(ckpt, state)
+        self._mesh = mesh
+        self._batch = int(mesh.shape["data"]) if mesh is not None else 1
+        self._batch_window = float(batch_window_s)
+        if mesh is not None:
+            from .parallel.mesh import replicate
+            state = replicate(state, mesh)
         self._state = state
 
         kw = dict(encoding=self._encoding, polarity=self._polarity,
@@ -137,18 +154,29 @@ class FlowServer:
         """Synchronous single-request helper."""
         return self.submit(request).result()
 
-    def warmup(self, n_events: Optional[int] = None):
+    def warmup(self, n_events: Optional[int] = None, *,
+               all_buckets: bool = False):
         """Compile the serving step(s) before taking traffic: one voxel-shaped
-        request, plus one events request per bucket up to ``n_events``."""
+        request, plus the events bucket for ``n_events``. With
+        ``all_buckets`` every bucket from the minimum up to
+        ``next_bucket(n_events)`` is compiled (otherwise requests landing
+        in a smaller bucket compile on first arrival)."""
         h, w = self._crop or self._resolution
         self.infer(np.zeros((self._num_bins, h, w), np.float32))
         if n_events is not None:
-            bucket = next_bucket(n_events)
-            ev = {"x": np.zeros(bucket, np.float32),
-                  "y": np.zeros(bucket, np.float32),
-                  "t": np.linspace(0, 1, bucket, dtype=np.float32),
-                  "p": np.ones(bucket, np.float32)}
-            self.infer(ev)
+            top = next_bucket(n_events)
+            buckets = [top]
+            if all_buckets:
+                b = next_bucket(0)  # minimum bucket
+                while b < top:
+                    buckets.insert(-1, b)
+                    b *= 2
+            for bucket in buckets:
+                ev = {"x": np.zeros(bucket, np.float32),
+                      "y": np.zeros(bucket, np.float32),
+                      "t": np.linspace(0, 1, bucket, dtype=np.float32),
+                      "p": np.ones(bucket, np.float32)}
+                self.infer(ev)
 
     def stats(self) -> dict:
         with self._lock:
@@ -183,44 +211,111 @@ class FlowServer:
 
     # ------------------------------------------------------------ workers
 
-    def _prepare(self, request):
-        """Host-side prep + async device launch; returns the device flow."""
+    def _put(self, x):
+        """Host array -> device; data-axis-sharded batch dim 0 on a mesh."""
+        if self._mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(x, NamedSharding(self._mesh, P("data")))
+
+    @staticmethod
+    def _batch_key(request):
+        """Requests coalesce into one step iff their keys match (same
+        compiled program + compatible padding)."""
         if isinstance(request, dict):
-            n = len(request["x"])
-            bucket = next_bucket(n)
-            if n > bucket:
-                raise ValueError(f"{n} events exceed buffer {bucket}")
-            # one packed H2D transfer instead of five (one DMA launch on
+            return ("events", next_bucket(len(request["x"])))
+        return ("voxel", np.shape(request))
+
+    def _prepare_group(self, requests):
+        """Host-side prep + one async device launch for a group of
+        compatible requests; returns the device flows [len(requests),...].
+        The batch dim is padded to the mesh's data-axis size so the
+        compiled program has one static shape."""
+        n = len(requests)
+        pad = max(self._batch, n)
+        if isinstance(requests[0], dict):
+            bucket = next_bucket(max(len(r["x"]) for r in requests))
+            # one packed H2D transfer instead of 5*n (one DMA launch on
             # real hosts; one round trip through the axon tunnel here),
             # sliced back into the x/y/t/p/valid dict on device
-            buf = np.zeros((5, bucket), np.float32)
-            for i, k in enumerate(("x", "y", "t", "p")):
-                buf[i, :n] = request[k]
-            buf[4, :n] = 1.0
-            dev = jnp.asarray(buf)
-            ev = {"x": dev[0][None], "y": dev[1][None], "t": dev[2][None],
-                  "p": dev[3][None], "valid": (dev[4] != 0)[None]}
+            buf = np.zeros((pad, 5, bucket), np.float32)
+            for b, r in enumerate(requests):
+                m = len(r["x"])
+                for i, k in enumerate(("x", "y", "t", "p")):
+                    buf[b, i, :m] = r[k]
+                buf[b, 4, :m] = 1.0
+            dev = self._put(buf)
+            ev = {"x": dev[:, 0], "y": dev[:, 1], "t": dev[:, 2],
+                  "p": dev[:, 3], "valid": dev[:, 4] != 0}
             flows = self._events_step(self._state, ev)
         else:
-            chunk = jnp.asarray(np.asarray(request, np.float32)[None])
-            flows = self._voxel_step(self._state, chunk)
-        return flows[-1][0]  # finest scale, batch 0
+            first = np.asarray(requests[0], np.float32)
+            arr = np.zeros((pad,) + first.shape, np.float32)
+            arr[0] = first
+            for b, r in enumerate(requests[1:], start=1):
+                arr[b] = r
+            flows = self._voxel_step(self._state, self._put(arr))
+        return flows[-1][:n]  # finest scale, real rows only
+
+    def _collect_group(self, leader):
+        """The leader request plus up to batch-1 more compatible requests
+        arriving within the batching window. Returns (group, stop) where
+        ``stop`` means the close sentinel was seen."""
+        group = [leader]
+        try:
+            key = self._batch_key(leader[1])
+        except Exception:  # malformed request: fail it alone in _prepare
+            return group, False
+        deadline = time.perf_counter() + self._batch_window
+        while len(group) < self._batch:
+            timeout = deadline - time.perf_counter()
+            try:
+                nxt = (self._requests.get(timeout=timeout) if timeout > 0
+                       else self._requests.get_nowait())
+            except queue_mod.Empty:
+                break
+            if nxt is None:
+                return group, True
+            try:
+                compatible = self._batch_key(nxt[1]) == key
+            except Exception as e:  # noqa: BLE001 — delivered via future
+                nxt[0].set_exception(e)
+                continue
+            if not compatible:
+                # park it as the next group's leader
+                self._carry = nxt
+                break
+            group.append(nxt)
+        return group, False
 
     def _dispatch_loop(self):
-        while not self._closed.is_set():
-            item = self._requests.get()
+        self._carry = None
+        stop = False
+        while not stop and not self._closed.is_set():
+            item = self._carry if self._carry is not None \
+                else self._requests.get()
+            self._carry = None
             if item is None:
                 break
-            fut, request, t0 = item
-            if not fut.set_running_or_notify_cancel():
+            if self._batch > 1:
+                group, stop = self._collect_group(item)
+            else:
+                group = [item]
+            live = [(f, r, t) for f, r, t in group
+                    if f.set_running_or_notify_cancel()]
+            if not live:
                 continue
             try:
-                flow_dev = self._prepare(request)
-            except Exception as e:  # noqa: BLE001 — delivered via future
-                fut.set_exception(e)
+                flows = self._prepare_group([r for _, r, _ in live])
+            except Exception as e:  # noqa: BLE001 — delivered via futures
+                for f, _, _ in live:
+                    f.set_exception(e)
                 continue
-            self._inflight.put((fut, flow_dev, t0))
+            self._inflight.put(([f for f, _, _ in live], flows,
+                                [t for _, _, t in live]))
         # drain remaining requests on close
+        for item in ([self._carry] if self._carry is not None else []):
+            item[0].set_exception(RuntimeError("server closed"))
         while True:
             try:
                 item = self._requests.get_nowait()
@@ -234,15 +329,18 @@ class FlowServer:
             item = self._inflight.get()
             if item is None:
                 break
-            fut, flow_dev, t0 = item
+            futs, flows_dev, t0s = item
             try:
-                flow = np.asarray(jax.device_get(flow_dev), np.float32)
-            except Exception as e:  # noqa: BLE001 — delivered via future
-                fut.set_exception(e)
+                flows = np.asarray(jax.device_get(flows_dev), np.float32)
+            except Exception as e:  # noqa: BLE001 — delivered via futures
+                for fut in futs:
+                    fut.set_exception(e)
                 continue
-            fut.set_result(flow)
+            for i, fut in enumerate(futs):
+                fut.set_result(flows[i])
+            now = time.perf_counter()
             with self._lock:
-                self._served += 1
-                self._latencies.append(time.perf_counter() - t0)
+                self._served += len(futs)
+                self._latencies.extend(now - t0 for t0 in t0s)
                 if len(self._latencies) > 1024:
                     del self._latencies[:512]

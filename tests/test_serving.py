@@ -97,12 +97,68 @@ def test_events_match_precomputed_voxels(server):
                                atol=1e-5)
 
 
+def test_warmup_bucket_coverage(server):
+    """Default warmup compiles only the target bucket; all_buckets walks
+    every bucket from the minimum up (so no request ever hits
+    first-arrival compile latency)."""
+    before = server.stats()["served"]
+    server.warmup(5000)  # one voxel + the 8192 bucket
+    assert server.stats()["served"] == before + 2
+    before = server.stats()["served"]
+    server.warmup(5000, all_buckets=True)  # voxel + 4096 + 8192
+    assert server.stats()["served"] == before + 3
+
+
 def test_error_surfaces_through_future(server):
     with pytest.raises(Exception):
         server.infer(np.zeros((3, 7), np.float32))  # bad rank
     # server still alive afterwards
     flow = server.infer(np.zeros((10, H, W), np.float32))
     assert flow.shape == (2, H, W)
+
+
+@pytest.fixture(scope="module")
+def mesh_server():
+    from sdformerflow_tpu.parallel.mesh import make_mesh
+    cfg = _config()
+    with FlowServer(cfg, bf16=False, mesh=make_mesh(n_data=4),
+                    max_pending=16, batch_window_s=0.05) as s:
+        s.warmup()
+        yield s
+
+
+def test_mesh_batched_voxel_matches_single(server, mesh_server):
+    """Concurrent requests coalesced into one data-sharded batch must
+    return the same flows as single-device single-request serving (eval
+    mode is per-sample independent: BN uses running stats)."""
+    rng = np.random.default_rng(7)
+    xs = [rng.normal(size=(10, H, W)).astype(np.float32) for _ in range(6)]
+    futs = [mesh_server.submit(x) for x in xs]  # > data axis: two groups
+    for x, fut in zip(xs, futs):
+        np.testing.assert_allclose(fut.result(timeout=120),
+                                   server.infer(x), atol=1e-5)
+
+
+def test_mesh_batched_events_and_mixed_kinds(server, mesh_server):
+    """Event requests batch by bucket; an incompatible request parks as
+    the next group's leader rather than corrupting the batch."""
+    rng = np.random.default_rng(8)
+
+    def ev(n, seed):
+        r = np.random.default_rng(seed)
+        return {"x": r.uniform(0, W - 1, n).astype(np.float32),
+                "y": r.uniform(0, H - 1, n).astype(np.float32),
+                "t": np.sort(r.uniform(0, 1, n)).astype(np.float32),
+                "p": r.integers(0, 2, n).astype(np.float32)}
+
+    evs = [ev(1500, i) for i in range(3)]
+    vox = rng.normal(size=(10, H, W)).astype(np.float32)
+    futs = [mesh_server.submit(evs[0]), mesh_server.submit(evs[1]),
+            mesh_server.submit(vox), mesh_server.submit(evs[2])]
+    flows = [f.result(timeout=120) for f in futs]
+    for e, flow in zip(evs, [flows[0], flows[1], flows[3]]):
+        np.testing.assert_allclose(flow, server.infer(e), atol=1e-5)
+    np.testing.assert_allclose(flows[2], server.infer(vox), atol=1e-5)
 
 
 def test_http_round_trip(server):
