@@ -72,6 +72,48 @@ def test_sequence_loss_gamma_weighting():
     np.testing.assert_allclose(float(l2) / float(l1), 1.8, rtol=1e-5)
 
 
+def test_variant_losses_reference_ab():
+    """f64 A/B of angular/relative/cosine losses vs the reference's OWN
+    methods (/root/reference/loss/flow_supervised.py:32-54). These are
+    unused by the shipped training configs (the angular term is commented
+    out of forward at :102-103) but are part of the loss API surface.
+    Batch 1: like sequence_loss, the reference's ``* mask`` broadcasts
+    [B,H,W] x [B,1,H,W] -> [B,B,H,W] cross-pairing samples for B > 1;
+    ours keeps the mask per-sample."""
+    import importlib
+    import sys
+
+    import jax
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    ref_mod = importlib.import_module("loss.flow_supervised")
+    loss_cfg = {"metrics": {"flow_scaling": 1.0},
+                "loss": {"lambda_mod": 1.0, "lambda_ang": 0.0}}
+    ref = ref_mod.flow_loss_supervised(loss_cfg, device="cpu")
+
+    rng = np.random.default_rng(13)
+    flow = rng.normal(0, 3, (1, 2, 9, 11))
+    gt = rng.normal(0, 3, flow.shape)
+    gt[0, :, 2, 3] = 0.0  # exercise the gt_mag epsilon guards
+    mask = (rng.uniform(size=(1, 1, 9, 11)) > 0.3).astype(np.float64)
+    nv = mask.sum()
+
+    tf, tg, tm = (torch.from_numpy(a) for a in (flow, gt, mask))
+    pairs = [
+        (losses.angular_loss, ref.angular_loss_function),
+        (losses.relative_loss, ref.rel_loss_function),
+        (losses.cosine_loss, ref.cosine_loss_function),
+    ]
+    with jax.enable_x64(True):
+        for ours, theirs in pairs:
+            want = float(theirs(tf, tg, tm, torch.tensor(nv)).item())
+            got = float(ours(jnp.asarray(flow), jnp.asarray(gt),
+                             jnp.asarray(mask), nv))
+            np.testing.assert_allclose(got, want, rtol=1e-12,
+                                       err_msg=ours.__name__)
+
+
 def test_sequence_loss_reference_ab_batch1():
     """f64 A/B vs the reference's OWN sequence_loss at batch 1 — the only
     batch size where the reference branch is well-formed (its valid/mag
