@@ -6,6 +6,13 @@ the architecture config — same formulas, one place:
 conv: Cin*Cout*k^2*H*W; linear: N*Cin*Cout; attention per window:
 qkv + scores + values + proj (Spiking_swin_transformer3D.py:377-411).
 
+Parity: the SEW record equals the reference's own record_flops() output
+site-for-site (tests/test_flops_parity.py). The MS record has no reference
+counterpart — the reference's linear-QK attention class lacks record_flops,
+so the flagship's record_flops() crashes with AttributeError as shipped
+(Spiking_swin_transformer3D.py:605 vs :890); ``ms=True`` here prices the
+linear-QK attention the MS blocks actually compute.
+
 ``record_flops`` returns a nested dict; ``total_flops`` the scalar sum.
 For XLA-measured (not analytic) numbers use
 ``jax.jit(fn).lower(*args).compile().cost_analysis()`` — exposed via
