@@ -103,6 +103,71 @@ def record_flops_spikingformer(swin: SwinConfig, *, base_channels=96,
     return rec
 
 
+def flops_stt(*, img_size, patch, in_chans, embed_dim, depths, num_heads,
+              window_size, mlp_ratio, num_residual_blocks=2,
+              num_output_channels=2, kernel_size=3) -> int:
+    """Scalar analytic FLOPs for the ANN STTFlowNet family — reproduces the
+    reference's own Module.flops() methods term-for-term, including their
+    conventions (tests/test_flops_parity.py asserts exact equality):
+
+    - PatchEmbedLocal (PatchEmbed.py:201-213): head/4-resblock/proj convs,
+      all scaled by num_blocks = in_chans // patch[0] time chunks.
+    - Swin blocks (swin_transformer3D_v2.py:212-227,341-353): LN + qkv +
+      scores + values + proj + 2-linear MLP; the trailing *2 on norm/MLP
+      terms is the reference's hardcoded two-chunk factor, which its
+      attention terms deliberately lack (quirk kept).
+    - PatchMerging (:528-533) and the per-stage backbone LN (:783-791).
+    - Bottleneck res convs + decoders + preds (STSwinNet.py:285-306).
+    """
+    H, W = img_size
+    pt = patch[0]
+    num_blocks = in_chans // pt
+    pr = (H // patch[1], W // patch[2])
+
+    f = 0
+    # patch embed
+    f += H * W * pt * embed_dim * 9 * num_blocks
+    f += H * W * embed_dim * embed_dim * 9 * 4 * 2 * num_blocks
+    f += pr[0] * pr[1] * embed_dim * embed_dim * 9 * num_blocks
+
+    wt, wh, ww = window_size
+    N = wt * wh * ww
+    h, w = pr
+    for i, depth in enumerate(depths):
+        dim = embed_dim * 2 ** i
+        heads = num_heads[i]
+        nW = h * w // wh // ww
+        attn = (N * dim * 3 * dim + 2 * heads * N * N * (dim // heads)
+                + N * dim * dim)
+        for _ in range(depth):
+            f += dim * h * w * 2                              # norm1
+            f += nW * attn                                    # W-MSA
+            f += 2 * h * w * dim * dim * mlp_ratio * 2        # mlp
+            f += dim * h * w * 2                              # norm2
+        if i < len(depths) - 1:
+            f += (h // 2) * (w // 2) * 4 * dim * 2 * dim * 2  # merge
+            f += h * w * dim * 4 * 2                          # merge LN
+            h, w = h // 2, w // 2
+    for i in range(len(depths)):                              # backbone LNs
+        f += 2 * (embed_dim * 2 ** i) * (pr[0] // 2 ** i) * (pr[1] // 2 ** i)
+
+    # bottleneck residual blocks + decoder/pred chain
+    n_en = len(depths)
+    max_ch = embed_dim * 2 ** (n_en - 1)
+    bh, bw = pr[0] // 2 ** (n_en - 1), pr[1] // 2 ** (n_en - 1)
+    f += 2 * max_ch * max_ch * 9 * bh * bw * num_residual_blocks
+    out_sizes = [embed_dim * 2 ** i for i in range(n_en)]
+    in_sizes = [embed_dim] + out_sizes[:-1]
+    dh, dw = bh, bw
+    for i, (inp, outp) in enumerate(zip(reversed(out_sizes),
+                                        reversed(in_sizes))):
+        pred_ch = 0 if i == 0 else num_output_channels
+        dh, dw = dh * 2, dw * 2
+        f += (2 * inp + pred_ch) * outp * dh * dw * kernel_size ** 2
+        f += outp * num_output_channels * dh * dw
+    return int(f)
+
+
 def total_flops(record) -> int:
     if isinstance(record, dict):
         return sum(total_flops(v) for v in record.values())

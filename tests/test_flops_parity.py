@@ -102,6 +102,36 @@ def test_sew_record_flops_matches_reference():
     assert sum(mapped.values()) > 1e7  # non-vacuous
 
 
+def test_ann_stt_flops_matches_reference():
+    """Scalar ANN STTFlowNet flops equals the reference's own .flops()
+    (PatchEmbedLocal + swin blocks/merges/LNs + res/decoder/pred chain,
+    STSwinNet.py:285-306 via swin_transformer3D_v2.py + PatchEmbed.py)."""
+    from sdformerflow_tpu.utils.flops import flops_stt
+
+    _, ref_ann = import_reference_models()
+    model_cfg = {
+        "name": "STTFlowNet", "encoding": "voxel", "norm_input": True,
+        "num_bins": 20, "base_num_channels": 32, "kernel_size": 3,
+        "activations": ["relu", None], "final_activation": None,
+        "mask_output": True, "norm": None, "spiking_neuron": None}
+    swin_cfg = {
+        "use_arc": ["swinv2", "PatchEmbedLocal"],
+        "swin_depths": [1, 2, 1], "swin_num_heads": [2, 2, 4],
+        "swin_out_indices": [0, 1, 2], "swin_patch_size": [10, 4, 4],
+        "window_size": [2, 3, 3], "pretrained_window_size": [0, 0, 0],
+        "mlp_ratio": 2, "input_size": [96, 96]}
+    tmodel = ref_ann.STTFlowNet(model_cfg, swin_cfg)
+    want = int(tmodel.flops())
+
+    got = flops_stt(img_size=(96, 96), patch=(10, 4, 4), in_chans=20,
+                    embed_dim=32, depths=(1, 2, 1), num_heads=(2, 2, 4),
+                    window_size=(2, 3, 3), mlp_ratio=2,
+                    num_residual_blocks=2, num_output_channels=2,
+                    kernel_size=3)
+    assert got == want, (got, want, got - want)
+    assert want > 1e7  # non-vacuous
+
+
 def test_reference_ms_record_flops_crashes_as_shipped():
     """The reference's MS family cannot produce its own flops table:
     Spiking_QK_WindowAttention3D has no record_flops, so the flagship's
