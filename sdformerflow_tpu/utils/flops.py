@@ -168,6 +168,37 @@ def flops_stt(*, img_size, patch, in_chans, embed_dim, depths, num_heads,
     return int(f)
 
 
+def flops_multires_unet(*, num_bins, base_channels, num_encoders,
+                        num_residual_blocks=2, num_output_channels=2,
+                        kernel_size=3, channel_multiplier=2,
+                        img_size=(288, 384)) -> int:
+    """Scalar analytic FLOPs for the plain MultiResUNet family — reproduces
+    the reference's own flops() (models/unet.py:232-256) exactly, including
+    its hardcoded 288x384 input assumption (``img_size`` default) and the
+    doubling channel scheme (encoder i: in base*m^i -> out base*m^(i+1),
+    unet.py:73-80; first encoder input replaced by num_bins)."""
+    in_sizes = [int(base_channels * channel_multiplier ** i)
+                for i in range(num_encoders)]
+    out_sizes = [int(base_channels * channel_multiplier ** (i + 1))
+                 for i in range(num_encoders)]
+    H, W = img_size
+    f = 0
+    for i, (inp, outp) in enumerate(zip(in_sizes, out_sizes)):
+        if i == 0:
+            inp = num_bins
+        H, W = H // 2, W // 2
+        f += inp * outp * kernel_size ** 2 * H * W
+    max_ch = out_sizes[-1]
+    f += 2 * max_ch * max_ch * 9 * H * W * num_residual_blocks
+    for i, (inp, outp) in enumerate(zip(reversed(out_sizes),
+                                        reversed(in_sizes))):
+        pred_ch = 0 if i == 0 else num_output_channels
+        H, W = H * 2, W * 2
+        f += (2 * inp + pred_ch) * outp * H * W * kernel_size ** 2
+        f += outp * num_output_channels * H * W
+    return int(f)
+
+
 def total_flops(record) -> int:
     if isinstance(record, dict):
         return sum(total_flops(v) for v in record.values())

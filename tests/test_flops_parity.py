@@ -132,6 +132,31 @@ def test_ann_stt_flops_matches_reference():
     assert want > 1e7  # non-vacuous
 
 
+def test_multires_unet_flops_matches_reference():
+    """Plain MultiResUNet scalar flops equals the reference's own flops()
+    (models/unet.py:232-256 — which hardcodes a 288x384 input)."""
+    from refharness import install_stubs, REFERENCE_ROOT
+
+    from sdformerflow_tpu.utils.flops import flops_multires_unet
+
+    install_stubs()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import models.unet as ref_unet_mod
+
+    tmodel = ref_unet_mod.MultiResUNet(dict(
+        base_num_channels=32, num_encoders=3, num_residual_blocks=2,
+        num_output_channels=2, skip_type="concat", norm=None,
+        use_upsample_conv=True, num_bins=10, kernel_size=3,
+        channel_multiplier=2))
+    want = int(tmodel.flops())
+    got = flops_multires_unet(num_bins=10, base_channels=32,
+                              num_encoders=3, num_residual_blocks=2,
+                              num_output_channels=2, kernel_size=3)
+    assert got == want, (got, want, got - want)
+    assert want > 1e7
+
+
 def test_reference_ms_record_flops_crashes_as_shipped():
     """The reference's MS family cannot produce its own flops table:
     Spiking_QK_WindowAttention3D has no record_flops, so the flagship's
