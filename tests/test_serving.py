@@ -188,6 +188,21 @@ def test_http_round_trip(server):
                 f"http://127.0.0.1:{port}/stats") as r:
             stats = json.loads(r.read())
         assert stats["served"] >= 1
+
+        # the client helpers speak the same protocol (scripts/flow_client.py)
+        import flow_client
+        url = f"http://127.0.0.1:{port}"
+        flow = flow_client.post_flow(
+            url, chunk=np.zeros((10, H, W), np.float32))
+        assert flow.shape == (2, H, W)
+        rng = np.random.default_rng(4)
+        flow = flow_client.post_flow(url, events={
+            "x": rng.uniform(0, W - 1, 500).astype(np.float32),
+            "y": rng.uniform(0, H - 1, 500).astype(np.float32),
+            "t": np.sort(rng.uniform(0, 1, 500)).astype(np.float32),
+            "p": rng.integers(0, 2, 500).astype(np.float32)})
+        assert flow.shape == (2, H, W)
+        assert flow_client.get_stats(url)["served"] >= 3
     finally:
         httpd.shutdown()
         thread.join(timeout=5)
