@@ -10,7 +10,11 @@ runs are noisy; the reported number is the median of R repeated timed runs.
 
 Numeric policy matches ``make_eval_step`` (training/train_step.py): params
 and activations cast to bf16, BatchNorm ``batch_stats`` kept in f32 — the
-same HLO the eval driver executes.
+same HLO the eval driver executes — plus the EXACT space-to-depth embed
+re-expression (training/s2d_embed.py, f64-parity-tested in
+tests/test_s2d_embed.py): the full-resolution embed segment runs in 2x2
+block space, avoiding the C=48 lane-padding tax (1.13x end-to-end,
+PERF_NOTES.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no numeric throughput baseline (BASELINE.md);
@@ -28,6 +32,7 @@ import jax.numpy as jnp
 from sdformerflow_tpu.models.common import SpikingConfig, SwinConfig
 from sdformerflow_tpu.models.snn_flownet import SpikingformerFlowNet
 from sdformerflow_tpu.ops.normalization import encode_input
+from sdformerflow_tpu.training.s2d_embed import s2d_model_and_variables
 from sdformerflow_tpu.utils.cache import enable_compilation_cache
 
 R01_BASELINE = 53.828  # windows/sec/chip, BENCH_r01.json
@@ -53,6 +58,8 @@ def main():
     chunk = jax.random.normal(rng, (batch, 10, h, w), jnp.float32)
     variables = jax.jit(lambda r, x: model.init({"params": r}, x, False))(
         rng, encode_input(chunk))
+    # exact s2d re-expression of the embed head (inference-only)
+    model, variables = s2d_model_and_variables(model, variables)
     # eval-step numeric policy: bf16 params, f32 batch_stats
     bench_vars = {
         "params": jax.tree_util.tree_map(

@@ -37,6 +37,14 @@ class SpikingConfig:
     # elementwise pass (+ its f32 converts) at every neuron site; invalid in
     # train mode (batch statistics would be wrong).
     fold_bn: bool = False
+    # eval-time space-to-depth re-expression of the full-resolution embed
+    # head (inference-only, EXACT): the flagship MSPED embed's
+    # conv(s1)->BN->spike->conv(s2)->BN segment runs in 2x2 block space
+    # (C 48->192 at half resolution) with kernels/affines rearranged by
+    # training.s2d_embed.s2d_embed_variables — avoids the (8,128)-lane
+    # padding tax of C=48 at 288x384 (ops/s2d.py, PERF_NOTES.md). Invalid
+    # in train mode (BN batch statistics would be per-block-channel).
+    s2d_embed: bool = False
 
     def replace(self, **kw) -> "SpikingConfig":
         return dataclasses.replace(self, **kw)

@@ -22,10 +22,11 @@ from typing import Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .common import SpikingConfig
+from .common import SpikingConfig, xavier_uniform
 from .spiking_layers import (MSSpikingConvEncoderLayer, SpikingConvEncoderLayer,
-                             SpikingEmbeddingLayer, SpikingPEDLayer,
-                             SpikingResidualStack)
+                             SpikingEmbeddingLayer, SpikingNorm, SpikingPEDLayer,
+                             SpikingResidualStack, norm_is_folded)
+from ..ops.s2d import space_to_depth
 
 
 def sfn_regroup(x, num_steps: int):
@@ -158,6 +159,31 @@ class SpikingPatchEmbedConvSfn(nn.Module):
         return x
 
 
+class _S2DExitConvLayer(nn.Module):
+    """Block-space exit of the embed's stride-2 MS conv (cfg.s2d_embed):
+    a 2x2 stride-1 conv with asymmetric (1,0) padding consuming the s2d
+    tensor and emitting the half-resolution output in NORMAL layout — the
+    exact image of conv2d(k=3, s=2, p=1) under s2d_kernel_s2 (ops/s2d.py).
+    Param paths (conv/conv, conv/norm) match MSSpikingConvEncoderLayer so
+    s2d_embed_variables only rearranges leaves."""
+
+    out_channels: int
+    cfg: SpikingConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.cfg.spike_norm
+        folded = norm_is_folded(norm, self.cfg)
+        x = nn.Conv(self.out_channels, (2, 2), strides=(1, 1),
+                    padding=((1, 0), (1, 0)),
+                    use_bias=norm is None or folded,
+                    kernel_init=xavier_uniform, name="conv")(x)
+        if norm is not None and not folded:
+            x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
+                            self.cfg.v_th, name="norm")(x, train)
+        return x
+
+
 class MSPEDSpikingPatchEmbedConvSfn(nn.Module):
     """Flagship (en4) embed: sfn regroup -> SEW head -> MS conv /2 ->
     2x MS resblocks -> PED projection /2. Parity:
@@ -179,10 +205,29 @@ class MSPEDSpikingPatchEmbedConvSfn(nn.Module):
     def __call__(self, x, train: bool = False):
         x = x[:, :self.in_chans]
         x = sfn_regroup(x, self.cfg.num_steps)
-        x = SpikingConvEncoderLayer(self.embed_dim // 2, self.cfg, 3, 1, 1,
-                                    name="head")(x, train)
-        x = MSSpikingConvEncoderLayer(self.embed_dim, self.cfg, 3, 2, 1,
-                                      first_layer=True, name="conv")(x, train)
+        if self.cfg.s2d_embed:
+            # Inference-only exact re-expression (ops/s2d.py): the
+            # full-resolution segment runs in 2x2 block space with 4x
+            # channels at half resolution; variables must come from
+            # training.s2d_embed.s2d_embed_variables. Spike/PSN commute
+            # with the pixel relabeling; eval-mode BN is a per-channel
+            # affine whose stats the transform tiles by 4.
+            if train:
+                raise ValueError("cfg.s2d_embed is inference-only (train-mode"
+                                 " BN statistics would be per-block-channel)")
+            if self.cfg.spike_norm not in (None, "BN", "TDBN"):
+                raise ValueError("cfg.s2d_embed requires a running-stats BN"
+                                 f" embed, got {self.cfg.spike_norm!r}")
+            x = space_to_depth(x)
+            x = SpikingConvEncoderLayer(4 * (self.embed_dim // 2), self.cfg,
+                                        3, 1, 1, name="head")(x, train)
+            x = _S2DExitConvLayer(self.embed_dim, self.cfg,
+                                  name="conv")(x, train)
+        else:
+            x = SpikingConvEncoderLayer(self.embed_dim // 2, self.cfg, 3, 1, 1,
+                                        name="head")(x, train)
+            x = MSSpikingConvEncoderLayer(self.embed_dim, self.cfg, 3, 2, 1,
+                                          first_layer=True, name="conv")(x, train)
         x = SpikingResidualStack(self.embed_dim, self.cfg, self.num_res,
                                  use_ms=True,
                                  name="residual_encoding")(x, train)
