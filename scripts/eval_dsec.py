@@ -63,6 +63,11 @@ def main():
                     help="record per-neuron-site membrane statistics "
                          "(mean/std/max per timestep; reference "
                          "vis.monitor_v, eval_DSEC_flow_SNN.py:145-149)")
+    ap.add_argument("--s2d_embed", action="store_true",
+                    help="exact space-to-depth embed re-expression (+13%% "
+                         "TPU forward, training/s2d_embed.py). Runs BN on "
+                         "running stats, so the reference's batch-1 "
+                         "train-mode-BN validation quirk is disabled")
     ap.add_argument("--log_attn", action="store_true",
                     help="store per-stage attention maps of the first batch")
     args = ap.parse_args()
@@ -145,12 +150,18 @@ def main():
         state = dataclasses.replace(state, params=params, batch_stats=bs)
         print(f"converted torch checkpoint {args.torch_ckpt}")
 
+    if args.s2d_embed:
+        from sdformerflow_tpu.training.s2d_embed import s2d_state
+        _, state = s2d_state(model, state)
+        print("s2d embed re-expression on (running-stats BN; the batch-1 "
+              "train-mode-BN quirk is disabled)")
     if args.energy_report:
         args.store_spike_rates = True
     collect_sites = args.store_spike_rates or args.store_membrane
     eval_step = make_eval_step(
         encoding=encoding, polarity=polarity, norm_input=norm_input,
-        spike_th=spike_th, use_batch_stats=batch_size == 1,
+        spike_th=spike_th,
+        use_batch_stats=batch_size == 1 and not args.s2d_embed,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         collect_spike_rates=collect_sites, voxelize=voxelize,
         crop=tuple(crop) if (voxelize and crop) else None)

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--event_buckets", default="",
                     help="comma list of padded event counts to also export "
                          "raw-events steps for (pow2 recommended)")
+    ap.add_argument("--s2d", action="store_true",
+                    help="bake the exact space-to-depth embed re-expression "
+                         "into the artifact (+13%% TPU forward; Spikingformer"
+                         " MSPED models with running-stats BN only)")
     ap.add_argument("--verify", action="store_true",
                     help="reload each artifact and check it against the "
                          "live step on random input")
@@ -52,7 +56,7 @@ def main():
     if args.eval_config:
         config = merge_eval_config(config, load_config(args.eval_config))
 
-    state = build_inference_state(config, args.ckpt)
+    state = build_inference_state(config, args.ckpt, s2d=args.s2d)
     buckets = [int(b) for b in args.event_buckets.split(",") if b]
     platforms = args.platforms.split(",") if args.platforms else None
     meta = export_flow_model(config, state, args.out,

@@ -92,6 +92,10 @@ def main():
                          "devices: concurrent compatible requests coalesce "
                          "into one sharded batch (N devices -> ~N x "
                          "throughput; per-window cost is batch-flat)")
+    ap.add_argument("--s2d", action="store_true",
+                    help="exact space-to-depth embed re-expression (+13%% "
+                         "TPU forward; Spikingformer MSPED models with "
+                         "running-stats BN only)")
     args = ap.parse_args()
 
     from sdformerflow_tpu.serving import FlowServer
@@ -109,7 +113,7 @@ def main():
         from sdformerflow_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(n_data=args.dp)
     server = FlowServer(config, ckpt=args.ckpt, bf16=not args.no_bf16,
-                        mesh=mesh)
+                        mesh=mesh, s2d=args.s2d)
     print("warming up (compiling serving step)...", flush=True)
     server.warmup(args.warmup_events,
                   all_buckets=args.warmup_all_buckets)

@@ -36,10 +36,13 @@ from jax import export as jax_export
 META_NAME = "export_meta.json"
 
 
-def build_inference_state(config: dict, ckpt: Optional[str] = None):
+def build_inference_state(config: dict, ckpt: Optional[str] = None,
+                          s2d: bool = False):
     """Init a TrainState for inference from a merged config, optionally
     restoring ``ckpt`` (Orbax dir) — the same construction the serving
-    engine and eval drivers use."""
+    engine and eval drivers use. ``s2d=True`` applies the exact
+    space-to-depth embed re-expression (training/s2d_embed.py) after the
+    restore, so the exported/served program carries the +13% TPU forward."""
     from ..models import get_model
     from ..ops.normalization import encode_input
     from .config import build_configs
@@ -65,6 +68,9 @@ def build_inference_state(config: dict, ckpt: Optional[str] = None):
     if ckpt is not None:
         from .checkpoints import restore_checkpoint
         state, _ = restore_checkpoint(ckpt, state)
+    if s2d:
+        from .s2d_embed import s2d_state
+        _, state = s2d_state(model, state)
     return state
 
 

@@ -124,3 +124,15 @@ def s2d_model_and_variables(model, variables):
     """Convenience: (model with cfg.s2d_embed=True, rearranged variables)."""
     s2d_model = model.clone(cfg=model.cfg.replace(s2d_embed=True))
     return s2d_model, s2d_embed_variables(variables)
+
+
+def s2d_state(model, state):
+    """TrainState convenience for the inference drivers: rearranged
+    params/batch_stats and the s2d model's apply_fn (opt_state untouched —
+    inference-only states; the transform invalidates it for training)."""
+    import dataclasses
+    model_s, vs = s2d_model_and_variables(
+        model, {"params": state.params, "batch_stats": state.batch_stats})
+    return model_s, dataclasses.replace(
+        state, params=vs["params"], batch_stats=vs.get("batch_stats", {}),
+        apply_fn=model_s.apply)

@@ -102,3 +102,22 @@ def test_load_needs_no_state(exported):
     flow = fns["voxel"](z)
     assert flow.shape == (1, 2, ch, cw)
     assert bool(jnp.all(jnp.isfinite(flow)))
+
+
+def test_s2d_export_round_trip(tmp_path):
+    """--s2d export: the baked artifact reproduces the live s2d step
+    bit-exactly and returns finite flows."""
+    import jax.numpy as jnp
+
+    cfg = _config()
+    state = build_inference_state(cfg, s2d=True)
+    out = tmp_path / "s2d_export"
+    meta = export_flow_model(cfg, state, str(out), bf16=False)
+    _, fns = load_exported(str(out))
+    h, w = meta["crop"] or meta["resolution"]
+    chunk = jnp.asarray(np.random.default_rng(11).normal(
+        size=(1, meta["num_bins"], h, w)), jnp.float32)
+    live = _eval_fn(cfg, state, bf16=False, events=False)(chunk)
+    got = fns["voxel"](chunk)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(live))
+    assert np.isfinite(np.asarray(got)).all()

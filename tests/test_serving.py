@@ -206,3 +206,28 @@ def test_http_round_trip(server):
     finally:
         httpd.shutdown()
         thread.join(timeout=5)
+
+
+def test_s2d_server_smoke():
+    """FlowServer(s2d=True): the embed params are actually rearranged into
+    block space and requests resolve to finite flows. Numeric exactness of
+    the transform is locked in f64 by tests/test_s2d_embed.py (f32 spiking
+    outputs are chaotic under summation reorder, so no A/B here)."""
+    with FlowServer(_config(), bf16=False, s2d=True) as s:
+
+        def find_head_kernel(tree):
+            if "patch_embed" in tree:
+                return tree["patch_embed"]["head"]["conv"]["kernel"]
+            for v in tree.values():
+                if isinstance(v, dict):
+                    k = find_head_kernel(v)
+                    if k is not None:
+                        return k
+            return None
+
+        k = find_head_kernel(s._state.params)
+        assert k.shape[:3] == (3, 3, 8)  # 4x block channels
+        flow = s.submit(np.random.default_rng(7).normal(
+            size=(10, H, W)).astype(np.float32)).result(timeout=300)
+        assert flow.shape == (2, H, W)
+        assert np.isfinite(flow).all()
