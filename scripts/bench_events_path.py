@@ -2,7 +2,8 @@
 288x384 crop -> en4 forward, one jitted step on the chip. Pallas voxelizer vs
 XLA scatter fallback; numbers in PERF_NOTES.md "Full-scale events-path eval
 step (round 3)"."""
-import statistics, time
+import os, statistics, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 import jax, jax.numpy as jnp
 from sdformerflow_tpu.models.common import SpikingConfig, SwinConfig
@@ -42,19 +43,30 @@ sample = encode_input(jnp.zeros((1, 10, ch, cw)))
 state = create_train_state(model, tx, sample, jax.random.PRNGKey(0))
 vox = dict(num_bins=BINS, height=H, width=W)
 
-def run(use_pallas, label):
-    es = make_eval_step(voxelize=dict(**vox, use_pallas=use_pallas),
+from sdformerflow_tpu import native
+_xs, _ys, _ts, _ps, _valid = native.pack_window_sorted(
+    np.asarray(ev["x"][0]), np.asarray(ev["y"][0]), np.asarray(ev["t"][0]),
+    np.asarray(ev["p"][0]), N, height=H, t0=0.0)
+ev_sorted = {"x": jnp.asarray(_xs[None]), "y": jnp.asarray(_ys[None]),
+             "t": jnp.asarray(_ts[None]), "p": jnp.asarray(_ps[None]),
+             "valid": jnp.asarray(_valid[None])}
+
+
+def run(use_pallas, label, presorted=False):
+    events = ev_sorted if presorted else ev
+    es = make_eval_step(voxelize=dict(**vox, use_pallas=use_pallas,
+                                      presorted=presorted),
                         crop=(ch, cw), compute_dtype=jnp.bfloat16)
-    out = es(state, ev)
+    out = es(state, events)
     assert np.isfinite(np.asarray(out[-1], np.float32)).all()
     def chained(e):
         f = es(state, e)[-1]
         return {**e, "t": e["t"] + 0.0 * f.sum().astype(jnp.float32)}
     cf = jax.jit(chained)
-    o = cf(ev); float(np.asarray(o["t"], np.float32).sum())
+    o = cf(events); float(np.asarray(o["t"], np.float32).sum())
     rr = []
     for _ in range(5):
-        o = ev
+        o = events
         t0 = time.perf_counter()
         for _ in range(10):
             o = cf(o)
@@ -63,4 +75,5 @@ def run(use_pallas, label):
     print(f"{label}: {statistics.median(rr):.1f} ms/window")
 
 run(True, "events eval step (pallas voxelizer)")
+run(True, "events eval step (pallas, host-presorted)", presorted=True)
 run(False, "events eval step (xla scatter)   ")

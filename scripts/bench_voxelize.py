@@ -28,14 +28,25 @@ def main():
     ts = jnp.asarray(np.sort(rng.uniform(0, 1, N)).astype(np.float32))
     ps = jnp.asarray(rng.integers(0, 2, N).astype(np.float32))
 
+    from sdformerflow_tpu import native
+    sx, sy, st, sp, _ = native.pack_window_sorted(
+        np.asarray(xs), np.asarray(ys), np.asarray(ts), np.asarray(ps), N,
+        height=H, t0=0.0)
+    sx, sy, st, sp = map(jnp.asarray, (sx, sy, st, sp))
+
     pall = jax.jit(lambda a, b, c, d: voxel_grid_signed_pallas(
         a, b, c, d, num_bins=B, height=H, width=W, t_range=(0.0, 1.0)))
+    psrt = jax.jit(lambda a, b, c, d: voxel_grid_signed_pallas(
+        a, b, c, d, num_bins=B, height=H, width=W, t_range=(0.0, 1.0),
+        presorted=True))
     ref = jax.jit(lambda a, b, c, d: voxel_grid_signed(
         a, b, c, d, num_bins=B, height=H, width=W, t_range=(0.0, 1.0)))
 
     g1 = np.asarray(pall(xs, ys, ts, ps))
     g0 = np.asarray(ref(xs, ys, ts, ps))
+    g2 = np.asarray(psrt(sx, sy, st, sp))
     print(f"A/B max|d| = {np.abs(g1 - g0).max():.3e} "
+          f"presorted max|d| = {np.abs(g2 - g0).max():.3e} "
           f"(grid |max| = {np.abs(g0).max():.2f})")
 
     def timed(fn, *args, iters=5, repeats=3):
@@ -56,9 +67,21 @@ def main():
         return statistics.median(rr)
 
     t_p = timed(pall, xs, ys, ts, ps)
+    t_s = timed(psrt, sx, sy, st, sp)
     t_x = timed(ref, xs, ys, ts, ps)
-    print(f"pallas: {t_p:.2f} ms   xla_scatter: {t_x:.2f} ms   "
-          f"speedup: {t_x / t_p:.1f}x")
+    t_host = _time_host_sort(np.asarray(xs), np.asarray(ys), np.asarray(ts),
+                             np.asarray(ps), N, H)
+    print(f"pallas: {t_p:.2f} ms   pallas presorted: {t_s:.2f} ms   "
+          f"xla_scatter: {t_x:.2f} ms   speedup: {t_x / t_p:.1f}x / "
+          f"{t_x / t_s:.1f}x   host counting sort: {t_host:.2f} ms")
+
+
+def _time_host_sort(x, y, t, p, cap, height, iters=5):
+    from sdformerflow_tpu import native
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        native.pack_window_sorted(x, y, t, p, cap, height=height, t0=0.0)
+    return (time.perf_counter() - t0) / iters * 1e3
 
 
 if __name__ == "__main__":

@@ -121,7 +121,9 @@ def main():
     if isinstance(sample, dict):
         full_hw = label0.shape[-2:]
         voxelize = dict(num_bins=config["data"].get("num_frames", 10),
-                        height=full_hw[0], width=full_hw[1])
+                        height=full_hw[0], width=full_hw[1],
+                        presorted=bool(getattr(dataset, "events_presorted",
+                                               False)))
         h, w = crop if crop else full_hw
         sample_b = jnp.zeros(
             (batch_size, voxelize["num_bins"], h, w))

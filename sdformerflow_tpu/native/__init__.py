@@ -64,6 +64,15 @@ def _build_and_load():
         lib.pack_window_f32.argtypes = [p_f32, p_f32, p_f32, p_f32, i64,
                                         ctypes.c_float, i64, p_f32, p_f32,
                                         p_f32, p_f32, p_u8]
+        lib.pack_window_sorted.restype = None
+        lib.pack_window_sorted.argtypes = [p_u16, p_u16, p_i64, p_u8, i64,
+                                           i64, i64, i64, p_f32, p_f32,
+                                           p_f32, p_f32, p_u8]
+        lib.pack_window_sorted_f32.restype = None
+        lib.pack_window_sorted_f32.argtypes = [p_f32, p_f32, p_f32, p_f32,
+                                               i64, ctypes.c_float, i64, i64,
+                                               p_f32, p_f32, p_f32, p_f32,
+                                               p_u8]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -166,3 +175,58 @@ def pack_window(x, y, t, p, cap: int, t0=None):
     valid[:m] = 1
     valid[m:] = 0
     return ox, oy, ot, op, valid.astype(bool)
+
+
+def pack_window_sorted(x, y, t, p, cap: int, height: int, t0=None):
+    """pack_window variant that emits events grouped by the Pallas
+    voxelizer's row key g = clip(trunc(y), -1, height-1) + 1 (stable
+    counting sort) and pads the tail with y = height (the last group, zero
+    weight). Buffers packed this way feed the voxelizer with
+    ``presorted=True`` (ops/pallas_voxel.py), skipping its on-device
+    lax.sort — ~55% of the kernel at 2^20 events (PERF_NOTES.md)."""
+    n = len(x)
+    ox = np.empty(cap, np.float32)
+    oy = np.empty(cap, np.float32)
+    ot = np.empty(cap, np.float32)
+    op = np.empty(cap, np.float32)
+    valid = np.empty(cap, np.uint8)
+    lib = _build_and_load()
+    if (lib is not None and x.dtype == np.uint16 and y.dtype == np.uint16
+            and t.dtype == np.int64 and p.dtype in (np.uint8, np.bool_)):
+        t0i = int(t[0]) if (t0 is None and n) else int(t0 or 0)
+        lib.pack_window_sorted(
+            _ptr(np.ascontiguousarray(x), ctypes.c_uint16),
+            _ptr(np.ascontiguousarray(y), ctypes.c_uint16),
+            _ptr(np.ascontiguousarray(t), ctypes.c_int64),
+            _ptr(np.ascontiguousarray(p, np.uint8), ctypes.c_uint8),
+            n, t0i, cap, height,
+            _ptr(ox, ctypes.c_float), _ptr(oy, ctypes.c_float),
+            _ptr(ot, ctypes.c_float), _ptr(op, ctypes.c_float),
+            _ptr(valid, ctypes.c_uint8))
+        return ox, oy, ot, op, valid.astype(bool)
+    if lib is not None:
+        xf = np.ascontiguousarray(x, np.float32)
+        yf = np.ascontiguousarray(y, np.float32)
+        pf = np.ascontiguousarray(p, np.float32)
+        # rebase before narrowing, as in pack_window
+        t64 = np.asarray(t, np.float64)
+        off = float(t64[0]) if (t0 is None and n) else float(t0 or 0.0)
+        tf = np.ascontiguousarray(t64 - off, np.float32)
+        lib.pack_window_sorted_f32(
+            _ptr(xf, ctypes.c_float), _ptr(yf, ctypes.c_float),
+            _ptr(tf, ctypes.c_float), _ptr(pf, ctypes.c_float),
+            n, 0.0, cap, height,
+            _ptr(ox, ctypes.c_float), _ptr(oy, ctypes.c_float),
+            _ptr(ot, ctypes.c_float), _ptr(op, ctypes.c_float),
+            _ptr(valid, ctypes.c_uint8))
+        return ox, oy, ot, op, valid.astype(bool)
+    # numpy fallback: pack unsorted, then stable-sort the valid prefix by
+    # the row key (identical grouping to the native kernel)
+    ox, oy, ot, op, valid = pack_window(x, y, t, p, cap, t0=t0)
+    m = min(n, cap)
+    key = np.clip(np.trunc(oy[:m].astype(np.float64)), -1, height - 1)
+    order = np.argsort(key, kind="stable")
+    ox[:m], oy[:m] = ox[:m][order], oy[:m][order]
+    ot[:m], op[:m] = ot[:m][order], op[:m][order]
+    oy[m:] = float(height)
+    return ox, oy, ot, op, valid

@@ -11,6 +11,7 @@
 // via ctypes; every entry point has a numpy fallback, so the framework
 // works without a toolchain.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -78,6 +79,91 @@ void pack_window(const uint16_t* x, const uint16_t* y, const int64_t* t,
         std::memset(ot + m, 0, sizeof(float) * (cap - m));
         std::memset(op + m, 0, sizeof(float) * (cap - m));
         std::memset(valid + m, 0, sizeof(uint8_t) * (cap - m));
+    }
+}
+
+// Row-grouped packing: same contract as pack_window, but events are
+// emitted grouped by the voxelizer's row key g = clip(trunc(y), -1, H-1)+1
+// (counting sort, stable within a group) and the padded tail carries
+// y = height so it lands in the LAST group. A buffer packed this way can
+// skip the on-device lax.sort inside the Pallas voxelizer
+// (ops/pallas_voxel.py presorted=True) — the sort is ~55% of the kernel's
+// device time at 2^20 events. Grouping (not total y order) is sufficient:
+// the kernel only needs contiguous row groups, and the key is monotone
+// non-decreasing in y.
+void pack_window_sorted(const uint16_t* x, const uint16_t* y,
+                        const int64_t* t, const uint8_t* p, int64_t n,
+                        int64_t t0, int64_t cap, int64_t height,
+                        float* ox, float* oy, float* ot, float* op,
+                        uint8_t* valid) {
+    const int64_t m = n < cap ? n : cap;
+    const int64_t n_groups = height + 2;  // g in [0, height+1) -> [1, H]
+    int64_t* counts = new int64_t[n_groups]();
+    for (int64_t i = 0; i < m; ++i) {
+        const int64_t g = (y[i] < height ? (int64_t)y[i] : height - 1) + 1;
+        ++counts[g];
+    }
+    int64_t* offs = new int64_t[n_groups];
+    int64_t acc = 0;
+    for (int64_t g = 0; g < n_groups; ++g) { offs[g] = acc; acc += counts[g]; }
+    for (int64_t i = 0; i < m; ++i) {
+        const int64_t g = (y[i] < height ? (int64_t)y[i] : height - 1) + 1;
+        const int64_t j = offs[g]++;
+        ox[j] = static_cast<float>(x[i]);
+        oy[j] = static_cast<float>(y[i]);
+        ot[j] = static_cast<float>(t[i] - t0);
+        op[j] = static_cast<float>(p[i]);
+        valid[j] = 1;
+    }
+    delete[] counts;
+    delete[] offs;
+    for (int64_t i = m; i < cap; ++i) {
+        ox[i] = 0.0f;
+        oy[i] = static_cast<float>(height);  // last row group, weight 0
+        ot[i] = 0.0f;
+        op[i] = 0.0f;
+        valid[i] = 0;
+    }
+}
+
+// float32-coordinate variant (already-rebased times, t0 handled upstream).
+// Handles negative / fractional y: g = clip(trunc(y), -1, H-1) + 1.
+void pack_window_sorted_f32(const float* x, const float* y, const float* t,
+                            const float* p, int64_t n, float t0, int64_t cap,
+                            int64_t height,
+                            float* ox, float* oy, float* ot, float* op,
+                            uint8_t* valid) {
+    const int64_t m = n < cap ? n : cap;
+    const int64_t n_groups = height + 2;
+    int64_t* counts = new int64_t[n_groups]();
+    int64_t* gidx = new int64_t[m];
+    for (int64_t i = 0; i < m; ++i) {
+        double yt = std::trunc(static_cast<double>(y[i]));
+        if (yt < -1.0) yt = -1.0;
+        if (yt > static_cast<double>(height - 1)) yt = height - 1;
+        gidx[i] = static_cast<int64_t>(yt) + 1;
+        ++counts[gidx[i]];
+    }
+    int64_t* offs = new int64_t[n_groups];
+    int64_t acc = 0;
+    for (int64_t g = 0; g < n_groups; ++g) { offs[g] = acc; acc += counts[g]; }
+    for (int64_t i = 0; i < m; ++i) {
+        const int64_t j = offs[gidx[i]]++;
+        ox[j] = x[i];
+        oy[j] = y[i];
+        ot[j] = t[i] - t0;
+        op[j] = p[i];
+        valid[j] = 1;
+    }
+    delete[] counts;
+    delete[] offs;
+    delete[] gidx;
+    for (int64_t i = m; i < cap; ++i) {
+        ox[i] = 0.0f;
+        oy[i] = static_cast<float>(height);
+        ot[i] = 0.0f;
+        op[i] = 0.0f;
+        valid[i] = 0;
     }
 }
 

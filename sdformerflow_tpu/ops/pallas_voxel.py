@@ -142,7 +142,7 @@ def _voxel_rows_pallas(ev_sorted, offsets, *, num_rows, num_bins, width,
 
 
 def _accumulate_core(xf, yf, t_n, values, *, num_bins, height, width,
-                     chunk, relu_weights=False):
+                     chunk, relu_weights=False, presorted=False):
     """Shared sorted-dense accumulation: sort by y-row once, run the row
     kernel once per value column, fold. ``values`` is a tuple of [N] weight
     arrays (already masked); returns one [num_bins, H, W] grid per column.
@@ -154,20 +154,34 @@ def _accumulate_core(xf, yf, t_n, values, *, num_bins, height, width,
     (group 0 holds trunc(y) == -1, whose only in-grid corner is row 0);
     events with trunc(y) outside [-1, height-1] have no in-grid y-corner in
     the reference semantics, so their weight is zeroed here (they stay in
-    the stream and the sort key is clipped to keep groups contiguous)."""
+    the stream and the sort key is clipped to keep groups contiguous).
+
+    ``presorted=True`` declares that the caller's events already arrive
+    grouped by this key in non-decreasing order (the host-side counting sort
+    in native.pack_window_sorted — any order WITHIN a group is fine, and any
+    padding must carry y >= height so it lands in the last group). The
+    on-device lax.sort (~55% of the kernel at 2^20 events) is then skipped;
+    an unsorted stream under this flag silently corrupts the grid, so only
+    set it from packers that guarantee the order."""
     y0t = jnp.trunc(yf)
     in_y = (y0t >= -1.0) & (y0t <= height - 1.0)
     values = tuple(jnp.where(in_y, v, 0.0) for v in values)
     key = jnp.clip(y0t, -1.0, height - 1.0) + 1.0
-    sorted_all = jax.lax.sort((key, xf, yf, t_n) + tuple(values),
-                              num_keys=1)
-    xs, ys, ts_ = sorted_all[1], sorted_all[2], sorted_all[3]
-    vs_sorted = sorted_all[4:]
-    # Offsets must come from the SAME (clipped) key the sort used: recomputing
-    # trunc(ys) unclipped is non-monotone when out-of-range events land in the
-    # first/last row groups, and searchsorted on a non-sorted array returns
-    # undefined offsets (silently dropping valid boundary-row events).
-    group_sorted = sorted_all[0].astype(jnp.int32)
+    if presorted:
+        xs, ys, ts_ = xf, yf, t_n
+        vs_sorted = values
+        group_sorted = key.astype(jnp.int32)
+    else:
+        sorted_all = jax.lax.sort((key, xf, yf, t_n) + tuple(values),
+                                  num_keys=1)
+        xs, ys, ts_ = sorted_all[1], sorted_all[2], sorted_all[3]
+        vs_sorted = sorted_all[4:]
+        # Offsets must come from the SAME (clipped) key the sort used:
+        # recomputing trunc(ys) unclipped is non-monotone when out-of-range
+        # events land in the first/last row groups, and searchsorted on a
+        # non-sorted array returns undefined offsets (silently dropping
+        # valid boundary-row events).
+        group_sorted = sorted_all[0].astype(jnp.int32)
     offsets = jnp.searchsorted(group_sorted, jnp.arange(height + 2),
                                method="scan_unrolled").astype(jnp.int32)
     grids = []
@@ -192,7 +206,8 @@ def _apply_valid(value, valid):
 
 
 def voxel_grid_signed_pallas(x, y, t, p, *, num_bins, height, width,
-                             valid=None, t_range=None, chunk=EVENT_CHUNK):
+                             valid=None, t_range=None, chunk=EVENT_CHUNK,
+                             presorted=False):
     """Drop-in replacement for ops.voxel.voxel_grid_signed on TPU.
 
     Same signature/semantics INCLUDING out-of-range coordinates: the
@@ -210,7 +225,8 @@ def voxel_grid_signed_pallas(x, y, t, p, *, num_bins, height, width,
     yf = y.astype(jnp.float32)
     value = _apply_valid(2.0 * p.astype(jnp.float32) - 1.0, valid)
     (grid,) = _accumulate_core(xf, yf, t_n, (value,), num_bins=num_bins,
-                               height=height, width=width, chunk=chunk)
+                               height=height, width=width, chunk=chunk,
+                               presorted=presorted)
     return grid
 
 
@@ -226,7 +242,7 @@ def _fold_partial(partial, num_bins):
 
 def voxel_grid_polarities_pallas(x, y, t, p, *, num_bins, height, width,
                                  valid=None, t_range=None,
-                                 chunk=EVENT_CHUNK):
+                                 chunk=EVENT_CHUNK, presorted=False):
     """Per-polarity trilinear voxel grid [num_bins, 2, H, W] (channel 0 =
     positive) — the Pallas counterpart of ops.voxel.voxel_grid_polarities
     (event_representations.py:279-313). One shared sort, two accumulation
@@ -241,13 +257,14 @@ def voxel_grid_polarities_pallas(x, y, t, p, *, num_bins, height, width,
     v_pos = jnp.where(pos, base, 0.0)
     v_neg = jnp.where(pos, 0.0, base)
     grids = _accumulate_core(xf, yf, t_n, (v_pos, v_neg), num_bins=num_bins,
-                             height=height, width=width, chunk=chunk)
+                             height=height, width=width, chunk=chunk,
+                             presorted=presorted)
     return jnp.stack(grids, axis=1)              # [T, 2, H, W]
 
 
 def events_to_voxel_grid_v2_pallas(x, y, t, p, *, num_bins, height, width,
                                    valid=None, t_range=None, normalize=True,
-                                   chunk=EVENT_CHUNK):
+                                   chunk=EVENT_CHUNK, presorted=False):
     """Pallas counterpart of ops.voxel.events_to_voxel_grid_v2 (e2vid-style:
     bilinear in time only, x/y truncated — event_representations.py:315-368).
     Truncated integer x/y make the spatial corner weights collapse to a
@@ -268,14 +285,16 @@ def events_to_voxel_grid_v2_pallas(x, y, t, p, *, num_bins, height, width,
                      p.astype(jnp.float32))
     pols = jnp.where(_range_mask(xf, yf, width, height, valid), pols, 0.0)
     (grid,) = _accumulate_core(xf, yf, t_n, (pols,), num_bins=num_bins,
-                               height=height, width=width, chunk=chunk)
+                               height=height, width=width, chunk=chunk,
+                               presorted=presorted)
     if normalize:
         grid = normalize_nonzero_std(grid)
     return grid
 
 
 def events_to_frames_pallas(x, y, t, p, *, num_frames, height, width,
-                            valid=None, t_range=None, chunk=EVENT_CHUNK):
+                            valid=None, t_range=None, chunk=EVENT_CHUNK,
+                            presorted=False):
     """Pallas counterpart of ops.voxel.events_to_frames: per-bin bilinear
     (x, y) ON/OFF count frames [num_frames, 2, H, W]
     (event_representations.py:45-76). The frame index is integral, so the
@@ -294,5 +313,6 @@ def events_to_frames_pallas(x, y, t, p, *, num_frames, height, width,
     v_off = jnp.where(pos, 0.0, base)
     grids = _accumulate_core(xf, yf, ts, (v_on, v_off),
                              num_bins=num_frames, height=height,
-                             width=width, chunk=chunk, relu_weights=True)
+                             width=width, chunk=chunk, relu_weights=True,
+                             presorted=presorted)
     return jnp.stack(grids, axis=1)              # [F, 2, H, W]

@@ -111,6 +111,12 @@ class ProcessShardedDataset:
         self._local = list(shard_indices(len(dataset), process_index=self._pi,
                                          process_count=self._pc))
 
+    @property
+    def events_presorted(self):
+        # forwarded so _events_voxelize_cfg sees the inner dataset's packer
+        # guarantee through the shard view
+        return bool(getattr(self.dataset, "events_presorted", False))
+
     def reshard(self, seed: int):
         """Global shuffle with ``seed`` (same on all processes), then take
         this process's contiguous slice of the permutation."""

@@ -117,10 +117,14 @@ class FlowServer:
                   norm_input=self._norm_input, spike_th=self._spike_th,
                   compute_dtype=jnp.bfloat16 if bf16 else None)
         self._voxel_step = make_eval_step(**kw)
+        # events requests are row-grouped on the host while packing
+        # (native.pack_window_sorted in _prepare_group), so the Pallas
+        # voxelizer skips its on-device lax.sort
         self._events_step = make_eval_step(
             **kw, voxelize=dict(num_bins=self._num_bins,
                                 height=self._resolution[0],
-                                width=self._resolution[1]),
+                                width=self._resolution[1],
+                                presorted=True),
             crop=self._crop)
 
         self._requests: "queue_mod.Queue" = queue_mod.Queue(
@@ -240,16 +244,22 @@ class FlowServer:
         n = len(requests)
         pad = max(self._batch, n)
         if isinstance(requests[0], dict):
+            from . import native
             bucket = next_bucket(max(len(r["x"]) for r in requests))
             # one packed H2D transfer instead of 5*n (one DMA launch on
             # real hosts; one round trip through the axon tunnel here),
-            # sliced back into the x/y/t/p/valid dict on device
+            # sliced back into the x/y/t/p/valid dict on device. Events are
+            # row-grouped while packing (C++ counting sort) so the device
+            # step skips its lax.sort; batch-pad rows stay all-zero (a
+            # constant key is trivially sorted, weight 0 via valid).
             buf = np.zeros((pad, 5, bucket), np.float32)
             for b, r in enumerate(requests):
-                m = len(r["x"])
-                for i, k in enumerate(("x", "y", "t", "p")):
-                    buf[b, i, :m] = r[k]
-                buf[b, 4, :m] = 1.0
+                x, y, t, p, valid = native.pack_window_sorted(
+                    np.asarray(r["x"]), np.asarray(r["y"]),
+                    np.asarray(r["t"]), np.asarray(r["p"]), bucket,
+                    height=self._resolution[0], t0=0.0)
+                buf[b, 0], buf[b, 1], buf[b, 2], buf[b, 3] = x, y, t, p
+                buf[b, 4] = valid
             dev = self._put(buf)
             ev = {"x": dev[:, 0], "y": dev[:, 1], "t": dev[:, 2],
                   "p": dev[:, 3], "valid": dev[:, 4] != 0}

@@ -66,7 +66,10 @@ def _events_voxelize_cfg(config, dataset):
         return None
     h, w = label.shape[-2:]
     return dict(num_bins=config["data"].get("num_frames", 10),
-                height=h, width=w)
+                height=h, width=w,
+                # datasets whose packer row-groups events (counting sort on
+                # the host) let the Pallas voxelizer skip its on-device sort
+                presorted=bool(getattr(dataset, "events_presorted", False)))
 
 
 def train(config: dict, train_dataset, valid_dataset=None, *,

@@ -65,7 +65,8 @@ def create_train_state(model, tx, sample_chunk, rng, train: bool = True):
         tx=tx)
 
 
-def voxelize_batch(events, *, num_bins, height, width, use_pallas=None):
+def voxelize_batch(events, *, num_bins, height, width, use_pallas=None,
+                   presorted=False):
     """On-device event->voxel rasterization for a batch of padded event
     buffers: dict(x, y, t, p, valid) of [B, N] arrays -> signed voxel chunks
     [B, num_bins, H, W]. Runs inside the jitted step — the north-star path
@@ -74,7 +75,13 @@ def voxelize_batch(events, *, num_bins, height, width, use_pallas=None):
     On TPU the sorted dense Pallas kernel (ops/pallas_voxel.py) is used —
     measured 7.5x faster than the XLA scatter lowering at 2^20 events/window
     with identical accuracy vs an f64 oracle (~1.2e-6); elsewhere (or with
-    ``use_pallas=False``) the XLA scatter path is the fallback."""
+    ``use_pallas=False``) the XLA scatter path is the fallback.
+
+    ``presorted=True`` declares the host packed each buffer row-grouped
+    (native.pack_window_sorted: events ordered by clip(trunc(y),-1,H-1),
+    padding carrying y >= height) — the kernel then skips its on-device
+    lax.sort. Only set it for datasets that advertise
+    ``events_presorted``."""
     from ..ops.voxel import voxel_grid_signed
 
     if use_pallas is None:
@@ -88,7 +95,7 @@ def voxelize_batch(events, *, num_bins, height, width, use_pallas=None):
             from ..ops.pallas_voxel import voxel_grid_signed_pallas
             return voxel_grid_signed_pallas(
                 x, y, t, p, num_bins=num_bins, height=height, width=width,
-                valid=valid, t_range=(t0, t1))
+                valid=valid, t_range=(t0, t1), presorted=presorted)
         return voxel_grid_signed(x, y, t, p, num_bins=num_bins, height=height,
                                  width=width, valid=valid, t_range=(t0, t1))
 

@@ -122,3 +122,60 @@ def test_pack_window_signed_polarity_avoids_u16_fast_path():
     ox, oy, ot, op, valid = native.pack_window(x, y, t, p, cap=128)
     np.testing.assert_array_equal(op[:n], p.astype(np.float32))
     assert set(np.unique(op[:n])) <= {-1.0, 1.0}
+
+
+def _group_key(y, height):
+    return np.clip(np.trunc(np.asarray(y, np.float64)), -1, height - 1) + 1
+
+
+def test_pack_window_sorted_u16_groups_and_pads(stream):
+    x, y, t, p = stream
+    n, cap, height = 10_000, 16_384, 480
+    ox, oy, ot, op, valid = native.pack_window_sorted(
+        x[:n], y[:n], t[:n], p[:n], cap, height=height)
+    # valid prefix, tail padded with y = height (last group, zero weight)
+    assert valid[:n].all() and not valid[n:].any()
+    np.testing.assert_array_equal(oy[n:], float(height))
+    # row key non-decreasing over the WHOLE buffer (incl. padding)
+    key = _group_key(oy, height)
+    assert (np.diff(key) >= 0).all()
+    # permutation: same multiset of (x, y, t, p) tuples
+    want = np.stack([x[:n].astype(np.float32), y[:n].astype(np.float32),
+                     (t[:n] - t[0]).astype(np.float32),
+                     p[:n].astype(np.float32)])
+    got = np.stack([ox[:n], oy[:n], ot[:n], op[:n]])
+    order_w = np.lexsort(want[::-1])
+    order_g = np.lexsort(got[::-1])
+    np.testing.assert_array_equal(want[:, order_w], got[:, order_g])
+
+
+def test_pack_window_sorted_f32_negative_and_overflow_y():
+    # float path: y in (-2, H+2) exercises groups 0 (trunc==-1) and the
+    # clipped last group; grouping must match the device key exactly
+    rng = np.random.default_rng(3)
+    n, cap, height = 5_000, 8_192, 33
+    x = rng.uniform(0, 63, n).astype(np.float32)
+    y = rng.uniform(-2, height + 2, n).astype(np.float32)
+    t = rng.uniform(0, 1, n).astype(np.float32)
+    p = rng.integers(0, 2, n).astype(np.float32)
+    ox, oy, ot, op, valid = native.pack_window_sorted(
+        x, y, t, p, cap, height=height, t0=0.0)
+    key = _group_key(oy, height)
+    assert (np.diff(key) >= 0).all()
+    assert valid[:n].all() and not valid[n:].any()
+    # multiset preserved
+    np.testing.assert_array_equal(np.sort(oy[:n]), np.sort(y))
+
+
+def test_pack_window_sorted_numpy_fallback_matches_native(stream, monkeypatch):
+    x, y, t, p = stream
+    n, cap, height = 3_000, 4_096, 480
+    got_nat = native.pack_window_sorted(x[:n], y[:n], t[:n], p[:n], cap,
+                                        height=height)
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)
+    got_np = native.pack_window_sorted(x[:n], y[:n], t[:n], p[:n], cap,
+                                       height=height)
+    # both are stable counting sorts by the same key -> identical order
+    for a, b in zip(got_nat, got_np):
+        np.testing.assert_array_equal(a, b)

@@ -209,3 +209,51 @@ def test_pallas_frames_out_of_range_relu():
     assert float(jnp.abs(want).sum()) > 0
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_presorted_skips_sort_and_matches_oracle():
+    """presorted=True on host-row-grouped buffers (native.pack_window_sorted)
+    must equal the XLA oracle, including out-of-range coords and a padded
+    tail carrying y = height."""
+    from sdformerflow_tpu import native
+
+    rng = np.random.default_rng(11)
+    n, cap, h, w, bins = 3000, 4096, 24, 32, 5
+    x = rng.uniform(-1.5, w + 0.5, n).astype(np.float32)
+    y = rng.uniform(-1.5, h + 0.5, n).astype(np.float32)
+    t = rng.uniform(0, 1, n).astype(np.float32)
+    p = rng.integers(0, 2, n).astype(np.float32)
+    xs, ys, ts, ps, valid = native.pack_window_sorted(
+        x, y, t, p, cap, height=h, t0=0.0)
+    want = voxel_grid_signed(jnp.asarray(x), jnp.asarray(y), jnp.asarray(t),
+                             jnp.asarray(p), num_bins=bins, height=h,
+                             width=w, t_range=(0.0, 1.0))
+    got = pallas_voxel.voxel_grid_signed_pallas(
+        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts), jnp.asarray(ps),
+        num_bins=bins, height=h, width=w, valid=jnp.asarray(valid),
+        t_range=(0.0, 1.0), chunk=128, presorted=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    assert float(jnp.abs(want).sum()) > 0
+
+
+def test_presorted_polarities_matches_unsorted():
+    from sdformerflow_tpu import native
+
+    rng = np.random.default_rng(12)
+    n, cap, h, w, bins = 2000, 2048, 20, 24, 4
+    x = rng.uniform(0, w - 1, n).astype(np.float32)
+    y = rng.uniform(0, h - 1, n).astype(np.float32)
+    t = rng.uniform(0, 1, n).astype(np.float32)
+    p = rng.integers(0, 2, n).astype(np.float32)
+    xs, ys, ts, ps, valid = native.pack_window_sorted(
+        x, y, t, p, cap, height=h, t0=0.0)
+    kw = dict(num_bins=bins, height=h, width=w, t_range=(0.0, 1.0),
+              chunk=128)
+    want = pallas_voxel.voxel_grid_polarities_pallas(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(t), jnp.asarray(p), **kw)
+    got = pallas_voxel.voxel_grid_polarities_pallas(
+        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts), jnp.asarray(ps),
+        valid=jnp.asarray(valid), presorted=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
