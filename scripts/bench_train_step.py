@@ -1,7 +1,10 @@
 """Flagship train-step benchmark at eval size (288x384, batch 1, bf16).
 
-Usage: python scripts/bench_train_step.py [--donate] [--remat=dots] [--profile]
-Numbers recorded in PERF_NOTES.md "Train step round 3"."""
+Usage: python scripts/bench_train_step.py [--donate] [--remat=dots]
+           [--profile] [--s2d]
+--s2d runs the train-capable space-to-depth embed re-expression
+(cfg.s2d_train — exact, reference-shaped params; tests/test_s2d_train.py).
+Numbers recorded in PERF_NOTES.md "Train step round 3/4"."""
 import statistics, sys, time
 import numpy as np
 import jax, jax.numpy as jnp
@@ -20,7 +23,8 @@ swin = SwinConfig(arc_type="swinv1",
     num_heads=(3, 6, 12, 24), out_indices=(0, 1, 2, 3),
     window_size=(2, 9, 9), qk_scale=0.125, drop_path_rate=0.2)
 cfg = SpikingConfig(num_steps=10, v_th=0.1, v_reset=None,
-                    neuron_type="psn", spike_norm="BN")
+                    neuron_type="psn", spike_norm="BN",
+                    s2d_train="--s2d" in sys.argv)
 model = SpikingformerFlowNet(swin=swin, cfg=cfg, num_bins=10,
                              base_num_channels=96, num_encoders=4,
                              use_upsample_conv=False, ms=True)

@@ -45,6 +45,19 @@ class SpikingConfig:
     # padding tax of C=48 at 288x384 (ops/s2d.py, PERF_NOTES.md). Invalid
     # in train mode (BN batch statistics would be per-block-channel).
     s2d_embed: bool = False
+    # TRAIN-capable space-to-depth re-expression of the same embed segment
+    # (exact, both modes): parameters stay REFERENCE-SHAPED (head kernel
+    # [3,3,ci,co], BN affine/running stats [C]) and are expanded to block
+    # space inside apply (ops/s2d.py), so the variable tree is IDENTICAL to
+    # the base model — checkpoints, optimizer state and eval interop with no
+    # conversion, and autodiff through the exact expansion yields the
+    # reference gradients. Train-mode BN re-reduces per-block-channel moments
+    # across the 4 equal-count block positions (combined mean/var are exact),
+    # so normalization and running-stat updates match the reference's
+    # per-channel BN (models/spiking_patch_embed.py::_S2DBlockBatchNorm).
+    # Unlike s2d_embed this needs no variable transform; flip the flag on a
+    # cloned model and reuse the same variables.
+    s2d_train: bool = False
 
     def replace(self, **kw) -> "SpikingConfig":
         return dataclasses.replace(self, **kw)

@@ -17,16 +17,18 @@ Variants mirror Spiking_modules.py:975-1837; the flagship
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from .common import SpikingConfig, xavier_uniform
 from .spiking_layers import (MSSpikingConvEncoderLayer, SpikingConvEncoderLayer,
-                             SpikingEmbeddingLayer, SpikingNorm, SpikingPEDLayer,
-                             SpikingResidualStack, norm_is_folded)
-from ..ops.s2d import space_to_depth
+                             SpikingEmbeddingLayer, SpikingNeuron, SpikingNorm,
+                             SpikingPEDLayer, SpikingResidualStack,
+                             norm_is_folded)
+from ..ops.s2d import s2d_kernel_s1, s2d_kernel_s2, space_to_depth, tile4
 
 
 def sfn_regroup(x, num_steps: int):
@@ -184,6 +186,160 @@ class _S2DExitConvLayer(nn.Module):
         return x
 
 
+class _S2DConv(nn.Module):
+    """Conv with REFERENCE-SHAPED kernel ``[3,3,ci,co]`` expanded to block
+    space at apply time (cfg.s2d_train). ``kind='s1'`` applies the
+    s2d_kernel_s1 image (stride-1 SAME in block space, block-space output);
+    ``kind='s2'`` applies the s2d_kernel_s2 image (2x2 stride-1 conv with
+    (1,0) asymmetric padding, NORMAL half-resolution output). The expansion
+    is a differentiable scatter of slices, so autodiff yields exactly the
+    reference kernel's gradient (each original tap accumulates its 4 block
+    placements). Param path/name/init match ``conv2d`` so the variable tree
+    is identical to the base model's."""
+
+    in_channels: int
+    out_channels: int
+    kind: str  # "s1" | "s2"
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        # explicit f32 param dtype mirrors nn.Conv's param_dtype: under
+        # enable_x64 an unspecified dtype would draw DIFFERENT f64 values
+        # from the same key, breaking init equality with the base model
+        w = self.param("kernel", xavier_uniform,
+                       (3, 3, self.in_channels, self.out_channels),
+                       jnp.float32)
+        if self.kind == "s1":
+            wp, pad = s2d_kernel_s1(w), ((1, 1), (1, 1))
+        elif self.kind == "s2":
+            wp, pad = s2d_kernel_s2(w), ((1, 0), (1, 0))
+        else:
+            raise ValueError(f"unknown s2d conv kind {self.kind!r}")
+        cdt = jnp.promote_types(x.dtype, wp.dtype)
+        lead = x.shape[:-3]
+        xr = x.reshape((-1,) + x.shape[-3:]).astype(cdt)
+        y = jax.lax.conv_general_dilated(
+            xr, wp.astype(cdt), window_strides=(1, 1), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.out_channels,), jnp.float32)
+            b = tile4(b) if self.kind == "s1" else b
+            y = y + b.astype(cdt)
+        return y.reshape(lead + y.shape[-3:])
+
+
+class _S2DBlockBatchNorm(nn.Module):
+    """TorchBatchNorm over a BLOCK-SPACE tensor ``[..., 4C]`` with
+    REFERENCE-SHAPED per-channel statistics ``[C]``.
+
+    Train mode reduces channel c's moments over ALL 4 block positions jointly
+    (reshape the lane axis to (4, C) and reduce every axis but C) — the same
+    population the reference's per-channel BN reduces at full resolution, so
+    batch mean/var and the torch-convention running-stat updates (unbiased
+    var, ``r <- (1-m) r + m s``) match the base TorchBatchNorm exactly (up to
+    summation order). Eval broadcasts the running stats over the block axis.
+    Stat/param names match TorchBatchNorm for tree compatibility."""
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    scale_init: Any = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = False):
+        C = x.shape[-1] // 4
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros, None, (C,))
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones, None, (C,))
+        scale = self.param("scale", self.scale_init, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        cdt = jnp.promote_types(x.dtype, jnp.float32)
+        xb = x.astype(cdt).reshape(x.shape[:-1] + (4, C))
+        if use_running_average:
+            mean = ra_mean.value.astype(cdt)
+            var = ra_var.value.astype(cdt)
+        else:
+            axes = tuple(range(xb.ndim - 1))  # includes the block axis
+            mean = xb.mean(axis=axes)
+            var = (jnp.abs(xb - mean) ** 2).mean(axis=axes)  # biased
+            if not self.is_initializing():
+                n = x.size / C  # full per-channel population (4 blocks)
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = ((1 - m) * ra_mean.value.astype(cdt)
+                                 + m * mean)
+                ra_var.value = ((1 - m) * ra_var.value.astype(cdt)
+                                + m * unbiased)
+        y = (xb - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(cdt) + bias.astype(cdt)
+        return y.reshape(x.shape).astype(x.dtype)
+
+
+class _S2DTrainHeadLayer(nn.Module):
+    """Block-space SEW head (conv -> norm -> spike) with reference-shaped
+    params (cfg.s2d_train twin of SpikingConvEncoderLayer(name='head'))."""
+
+    in_channels: int
+    out_channels: int
+    cfg: SpikingConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.cfg.spike_norm
+        folded = norm_is_folded(norm, self.cfg)
+        x = _S2DConv(self.in_channels, self.out_channels, "s1",
+                     use_bias=norm is None or folded, name="conv")(x)
+        if norm is not None and not folded:
+            x = _S2DSpikingNorm(self.cfg, name="norm")(x, train)
+        return SpikingNeuron(self.cfg, name="sn")(x)
+
+
+class _S2DSpikingNorm(nn.Module):
+    """SpikingNorm twin for block-space tensors: BN/TDBN only (per-channel
+    batch statistics are the only norms the block re-reduction preserves —
+    matching the s2d_embed constraint)."""
+
+    cfg: SpikingConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.cfg.spike_norm
+        if norm == "BN":
+            return _S2DBlockBatchNorm(name="BatchNorm_0")(x, not train)
+        if norm == "TDBN":
+            return _S2DBlockBatchNorm(
+                name="BatchNorm_0",
+                scale_init=nn.initializers.constant(self.cfg.v_th))(
+                    x, not train)
+        raise ValueError("cfg.s2d_train requires a per-channel BN embed "
+                         f"(BN/TDBN), got {norm!r}")
+
+
+class _S2DTrainExitLayer(nn.Module):
+    """Block-space exit of the stride-2 MS conv with reference-shaped params
+    (cfg.s2d_train twin of MSSpikingConvEncoderLayer(first_layer=True,
+    name='conv')). Output is NORMAL half-resolution layout, so its norm is
+    the standard per-channel SpikingNorm."""
+
+    in_channels: int
+    out_channels: int
+    cfg: SpikingConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = self.cfg.spike_norm
+        folded = norm_is_folded(norm, self.cfg)
+        x = _S2DConv(self.in_channels, self.out_channels, "s2",
+                     use_bias=norm is None or folded, name="conv")(x)
+        if norm is not None and not folded:
+            x = SpikingNorm(self.out_channels, self.cfg.num_steps, norm,
+                            self.cfg.v_th, name="norm")(x, train)
+        return x
+
+
 class MSPEDSpikingPatchEmbedConvSfn(nn.Module):
     """Flagship (en4) embed: sfn regroup -> SEW head -> MS conv /2 ->
     2x MS resblocks -> PED projection /2. Parity:
@@ -205,7 +361,23 @@ class MSPEDSpikingPatchEmbedConvSfn(nn.Module):
     def __call__(self, x, train: bool = False):
         x = x[:, :self.in_chans]
         x = sfn_regroup(x, self.cfg.num_steps)
-        if self.cfg.s2d_embed:
+        if self.cfg.s2d_train:
+            # Train-capable exact block-space re-expression: parameters stay
+            # REFERENCE-SHAPED (expanded inside apply, ops/s2d.py), BN
+            # statistics are re-reduced across the 4 equal-count block
+            # positions, so the variable tree AND the math match the base
+            # model in both modes — flip the flag on a cloned model and
+            # reuse the same variables (no s2d_embed_variables transform).
+            if self.cfg.s2d_embed:
+                raise ValueError("cfg.s2d_train and cfg.s2d_embed are "
+                                 "mutually exclusive re-expressions")
+            ci = x.shape[-1]
+            x = space_to_depth(x)
+            x = _S2DTrainHeadLayer(ci, self.embed_dim // 2, self.cfg,
+                                   name="head")(x, train)
+            x = _S2DTrainExitLayer(self.embed_dim // 2, self.embed_dim,
+                                   self.cfg, name="conv")(x, train)
+        elif self.cfg.s2d_embed:
             # Inference-only exact re-expression (ops/s2d.py): the
             # full-resolution segment runs in 2x2 block space with 4x
             # channels at half resolution; variables must come from

@@ -105,6 +105,11 @@ def build_configs(config: dict):
         tau=float(sn.get("tau", 2.0)),
         detach_reset=bool(sn.get("detach_reset", True)),
         spike_norm=sn.get("spike_norm", "BN"),
+        # model.s2d_train: run the MSPED embed's full-resolution segment in
+        # 2x2 block space with reference-shaped params (exact in train AND
+        # eval; see SpikingConfig.s2d_train). Read only by the MSPED
+        # conv-sfn embed; other embeds ignore it.
+        s2d_train=bool(model.get("s2d_train", False)),
     )
 
     st = config.get("swin_transformer", {}) or {}
