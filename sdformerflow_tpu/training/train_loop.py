@@ -183,6 +183,12 @@ def _train(config: dict, train_dataset, valid_dataset=None, *,
         put = None
 
     voxelize = _events_voxelize_cfg(config, train_dataset)
+    if voxelize is not None and mesh.shape.get("data", 1) > 1:
+        # multi-device events path: shard_map the voxelizer over the data
+        # axis so each device rasterizes only its local batch rows
+        # (train_step.voxelize_batch; verified per-leaf-grad-equal to the
+        # single-device step in tests/test_multichip_equivalence.py)
+        voxelize = dict(voxelize, mesh=mesh)
     train_step = make_train_step(
         encoding=encoding, polarity=polarity and is_snn,
         norm_input=norm_input, spike_th=spike_th,
@@ -332,11 +338,35 @@ def validate(config, state, eval_step, dataset, crop=None, batch_size=None,
     """
     loader = config["loader"]
     batch_size = batch_size or loader["batch_size"]
-    max_batches = config["test"].get("sample", 40)
+    # reference cap: breaks AFTER the batch that makes sample exceed
+    # test.sample // batch_size (train_..._SNN.py:478-480), i.e. it runs
+    # sample//B + 1 batches, not sample
+    max_batches = config["test"].get("sample", 40) // batch_size + 1
     losses, count = [], 0
     flow_scaling = config["metrics"].get("flow_scaling", 1.0)
-    loss_jit = jax.jit(lambda fl, la, mk: flow_loss_supervised(
-        fl, la, mk, flow_scaling=flow_scaling))
+    # the reference validates on the FINEST flow only
+    # (train_flow_parallel_supervised_SNN.py:456,475 — loss_function([pred])
+    # with pred = flow[-1]), unlike training which averages all scales; and
+    # with metrics.mask_events it masks by the ENCODED chunk's nonzero
+    # footprint (:470-473), recomputed here with the same encode_input args
+    # as the eval step
+    mask_events = config["metrics"].get("mask_events", False)
+    encoding = config["model"].get("encoding", "voxel")
+    polarity = (loader.get("polarity", True)
+                and "Spiking" in config["model"]["name"])
+    norm_input = config["model"].get("norm_input")
+    spike_th = config["data"].get("spike_th")
+
+    def _loss(fl, la, mk, chunk):
+        if mask_events and not isinstance(chunk, dict):
+            x = encode_input(chunk, encoding=encoding, polarity=polarity,
+                             norm_input=norm_input, spike_th=spike_th)
+            axes = (1, 2) if x.ndim == 5 else (1,)
+            mk = mk * (x.sum(axis=axes) != 0)[:, None].astype(mk.dtype)
+        return flow_loss_supervised([fl[-1]], la, mk,
+                                    flow_scaling=flow_scaling)
+
+    loss_jit = jax.jit(_loss)
     for i, batch in enumerate(batch_iterator(dataset, batch_size)):
         if i >= max_batches:
             break
@@ -361,7 +391,7 @@ def validate(config, state, eval_step, dataset, crop=None, batch_size=None,
                          "mask": np.asarray(mask)})
                 chunk, label, mask = g["chunk"], g["label"], g["mask"]
         flows = eval_step(state, chunk)
-        losses.append(loss_jit(flows, label, mask))  # device scalar
+        losses.append(loss_jit(flows, label, mask, chunk))  # device scalar
         count += batch_size
     if not losses:
         return 0.0

@@ -66,7 +66,7 @@ def create_train_state(model, tx, sample_chunk, rng, train: bool = True):
 
 
 def voxelize_batch(events, *, num_bins, height, width, use_pallas=None,
-                   presorted=False):
+                   presorted=False, mesh=None):
     """On-device event->voxel rasterization for a batch of padded event
     buffers: dict(x, y, t, p, valid) of [B, N] arrays -> signed voxel chunks
     [B, num_bins, H, W]. Runs inside the jitted step — the north-star path
@@ -81,7 +81,15 @@ def voxelize_batch(events, *, num_bins, height, width, use_pallas=None,
     (native.pack_window_sorted: events ordered by clip(trunc(y),-1,H-1),
     padding carrying y >= height) — the kernel then skips its on-device
     lax.sort. Only set it for datasets that advertise
-    ``events_presorted``."""
+    ``events_presorted``.
+
+    With ``mesh=`` (a Mesh whose ``data`` axis evenly divides B) the batch
+    loop runs under ``shard_map`` over the data axis: each device voxelizes
+    only its LOCAL batch rows — in particular the Pallas kernel's unrolled
+    per-row loop and scalar-prefetch DMAs never cross devices, so the
+    multi-chip events path needs no gathers (the reference's nearest surface
+    is DataParallel over on-the-fly voxelized MDR batches,
+    /root/reference/train_mdr_supervised_SNN.py:124-156)."""
     from ..ops.voxel import voxel_grid_signed
 
     if use_pallas is None:
@@ -99,15 +107,24 @@ def voxelize_batch(events, *, num_bins, height, width, use_pallas=None,
         return voxel_grid_signed(x, y, t, p, num_bins=num_bins, height=height,
                                  width=width, valid=valid, t_range=(t0, t1))
 
-    if use_pallas:
-        # unrolled batch loop: the kernel uses scalar-prefetch + manual DMA,
-        # which does not compose with vmap's batching rule
-        outs = [one(events["x"][b], events["y"][b], events["t"][b],
-                    events["p"][b], events["valid"][b])
-                for b in range(events["x"].shape[0])]
-        return jnp.stack(outs)
-    return jax.vmap(one)(events["x"], events["y"], events["t"],
-                         events["p"], events["valid"])
+    def batched(ev):
+        if use_pallas:
+            # unrolled batch loop: the kernel uses scalar-prefetch + manual
+            # DMA, which does not compose with vmap's batching rule
+            outs = [one(ev["x"][b], ev["y"][b], ev["t"][b],
+                        ev["p"][b], ev["valid"][b])
+                    for b in range(ev["x"].shape[0])]
+            return jnp.stack(outs)
+        return jax.vmap(one)(ev["x"], ev["y"], ev["t"], ev["p"], ev["valid"])
+
+    if mesh is not None and mesh.shape.get("data", 1) > 1 \
+            and events["x"].shape[0] % mesh.shape["data"] == 0:
+        from jax.sharding import PartitionSpec as P
+        # check_vma off: pallas_call outputs don't carry varying-mesh-axes
+        # metadata, and the body is elementwise-per-row (no collectives)
+        return jax.shard_map(batched, mesh=mesh, in_specs=(P("data"),),
+                             out_specs=P("data"), check_vma=False)(events)
+    return batched(events)
 
 
 def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
