@@ -28,10 +28,13 @@ of weights, not an approximation:
 
 Channel order convention everywhere: s2d channel index = (bi*2 + bj)*C + c.
 
-Eval-only as a whole-segment transform: train-mode BN would compute batch
-statistics per s2d channel, which differs from the reference's per-channel
-statistics. (Per-block statistics could be re-reduced, but the embed
-transform is an inference optimization, like training/bn_folding.py.)
+The VARIABLE-TRANSFORM flavor (cfg.s2d_embed, training/s2d_embed.py) is
+eval-only: train-mode BN would compute batch statistics per s2d channel.
+The re-reduction that fixes this — per-block-channel moments combined
+exactly across the 4 equal-count block positions — is implemented by the
+train-capable flavor (cfg.s2d_train, models/spiking_patch_embed.py
+``_S2DBlockBatchNorm``), which instead keeps reference-shaped parameters
+and expands them inside apply; see tests/test_s2d_train.py.
 """
 
 from __future__ import annotations

@@ -130,7 +130,7 @@ def voxelize_batch(events, *, num_bins, height, width, use_pallas=None,
 def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
                     spike_th=None, flow_scaling=1.0, gamma=None,
                     mask_events=False, donate=True, voxelize=None,
-                    compute_dtype=None, remat=None):
+                    compute_dtype=None, remat=None, crop=None):
     """Build the jitted train step. ``batch`` is a dict with
     chunk [B, bins, H, W] (signed voxels) or [B, bins, 2, H, W],
     label [B, 2, H, W], mask [B, 1, H, W].
@@ -176,6 +176,15 @@ def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
     def train_step(state: TrainState, batch, rng):
         if voxelize is not None and "events" in batch:
             chunk = voxelize_batch(batch["events"], **voxelize)
+            if crop is not None:
+                # events train protocol: voxelize at sensor resolution,
+                # center crop to the training size inside the same jitted
+                # step (labels/masks arrive already cropped) — symmetric
+                # with make_eval_step's crop
+                ch, cw = crop
+                H, W = chunk.shape[-2:]
+                y0, x0 = (H - ch) // 2, (W - cw) // 2
+                chunk = chunk[..., y0:y0 + ch, x0:x0 + cw]
         else:
             chunk = batch["chunk"]
         if chunk.ndim == 4 or encoding == "voxel":
