@@ -16,9 +16,12 @@ Timing discipline matches bench.py (data-dependency chaining, single fetch,
 median of repeats — block_until_ready does not wait through the axon
 tunnel). Numbers recorded in PERF_NOTES.md "ANN family".
 """
+import os
 import statistics
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
