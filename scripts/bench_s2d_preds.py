@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 import jax, jax.numpy as jnp
 from sdformerflow_tpu.ops.s2d import space_to_depth, depth_to_space
-from sdformerflow_tpu.ops.pad import resize_nearest
+from sdformerflow_tpu.ops.interpolate import resize_nearest
 from sdformerflow_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
@@ -95,20 +95,23 @@ def main():
                                    atol=1e-4, rtol=1e-4)
 
         def timed(fn, n_out):
-            # chain via data dependency; fetch once (tunnel-safe timing)
+            # chain via data dependency; fetch ONE SCALAR per block (a full
+            # np.asarray(x) fetch would drag ~50 MB through the tunnel and
+            # dominate the timing — see CLAUDE.md tunnel notes)
             def chained(x, k):
                 out = fn(x, k)
                 return x + 0.0 * out.sum().astype(x.dtype), k
             cf = jax.jit(chained)
+            scal = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
             xx, kk = cf(x, k)
-            float(np.asarray(xx, np.float32).sum())
+            float(scal(xx))
             rr = []
             for _ in range(5):
                 xx = x
                 t0 = time.perf_counter()
                 for _ in range(20):
                     xx, _ = cf(xx, k)
-                float(np.asarray(xx, np.float32).sum())
+                float(scal(xx))
                 rr.append((time.perf_counter() - t0) / 20 * 1e3)
             return statistics.median(rr)
 
