@@ -93,6 +93,14 @@ def main():
             rates.append((time.perf_counter() - t0) / iters * 1e3)
         print(f"ANN {arc} train step (batch={batch}): "
               f"{statistics.median(rates):.1f} ms/step")
+        if "--profile" in sys.argv:
+            import shutil
+            shutil.rmtree("/tmp/prof_ann_train", ignore_errors=True)
+            with jax.profiler.trace("/tmp/prof_ann_train"):
+                for i in range(5):
+                    st, m = step(st, batch_d, jax.random.PRNGKey(i))
+                float(m["loss"])
+            print("profile written to /tmp/prof_ann_train")
         return
 
     bench_vars = {"params": jax.tree_util.tree_map(

@@ -1,7 +1,7 @@
-"""Flagship train-step benchmark at eval size (288x384, batch 1, bf16).
+"""Flagship train-step benchmark at eval size (288x384, bf16).
 
 Usage: python scripts/bench_train_step.py [--donate] [--remat=dots]
-           [--profile] [--s2d]
+           [--profile] [--s2d] [--batch=N]
 --s2d runs the train-capable space-to-depth embed re-expression
 (cfg.s2d_train — exact, reference-shaped params; tests/test_s2d_train.py).
 Numbers recorded in PERF_NOTES.md "Train step round 3/4"."""
@@ -29,14 +29,15 @@ model = SpikingformerFlowNet(swin=swin, cfg=cfg, num_bins=10,
                              base_num_channels=96, num_encoders=4,
                              use_upsample_conv=False, ms=True)
 rng = np.random.default_rng(0)
+B = int(next((a.split("=")[1] for a in sys.argv
+              if a.startswith("--batch=")), "1"))
 batch = {
-    "chunk": jnp.asarray(rng.normal(0, 1, (1, 10, h, w)), jnp.float32),
-    "label": jnp.asarray(rng.normal(0, 1, (1, 2, h, w)), jnp.float32),
-    "mask": jnp.ones((1, 1, h, w), jnp.float32),
+    "chunk": jnp.asarray(rng.normal(0, 1, (B, 10, h, w)), jnp.float32),
+    "label": jnp.asarray(rng.normal(0, 1, (B, 2, h, w)), jnp.float32),
+    "mask": jnp.ones((B, 1, h, w), jnp.float32),
 }
 tx = build_optimizer(lr=1e-4, steps_per_epoch=100, clip_grad=100.0)
 state = create_train_state(model, tx, encode_input(batch["chunk"]), jax.random.PRNGKey(0))
-import sys
 _remat = None
 for a in sys.argv:
     if a.startswith("--remat="):
@@ -57,7 +58,9 @@ for _ in range(repeats):
         st, m = step(st, batch, jax.random.PRNGKey(i))
     float(m["loss"])  # forces the chain
     rates.append((time.perf_counter() - t0) / iters * 1e3)
-print(f"train step: {statistics.median(rates):.1f} ms/step")
+ms = statistics.median(rates)
+print(f"train step (batch={B}): {ms:.1f} ms/step "
+      f"({1e3 * B / ms:.1f} windows/s)")
 
 if "--profile" in sys.argv:
     import shutil

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--path", default=None, help="override data.path")
     ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override optimizer.lr")
     ap.add_argument("--synthetic", action="store_true",
                     help="train on synthetic data (smoke runs without DSEC)")
     ap.add_argument("--structured", action="store_true",
@@ -38,6 +40,8 @@ def main():
     config = load_config(args.config)
     if args.path:
         config["data"]["path"] = args.path
+    if args.lr is not None:
+        config["optimizer"]["lr"] = args.lr
 
     # raw-event-list mode: events are voxelized ON DEVICE (Pallas on TPU)
     # inside the jitted train/eval steps instead of read as preprocessed
