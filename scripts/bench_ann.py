@@ -79,9 +79,11 @@ def main():
         # ANN trainer encoding: no polarity split, no driver-side norm (the
         # model's own norm_input handles normalization) — encode_input is an
         # identity here, matching train_loop's ANN dispatch
+        remat = next((a.split("=")[1] for a in sys.argv
+                      if a.startswith("--remat=")), None)
         step = make_train_step(encoding="voxel", polarity=False,
                                norm_input=None, compute_dtype=jnp.bfloat16,
-                               donate=True)
+                               donate=True, remat=remat)
         st, m = step(state, batch_d, jax.random.PRNGKey(1))
         print("loss:", float(m["loss"]))
         iters, repeats, rates = 5, 5, []

@@ -5,7 +5,8 @@ Usage: python scripts/bench_train_step.py [--donate] [--remat=dots]
 --s2d runs the train-capable space-to-depth embed re-expression
 (cfg.s2d_train — exact, reference-shaped params; tests/test_s2d_train.py).
 Numbers recorded in PERF_NOTES.md "Train step round 3/4"."""
-import statistics, sys, time
+import os, statistics, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 import jax, jax.numpy as jnp
 from sdformerflow_tpu.models.common import SpikingConfig, SwinConfig

@@ -196,6 +196,11 @@ def _train(config: dict, train_dataset, valid_dataset=None, *,
         gamma=loss_cfg.get("gamma"),
         mask_events=config["metrics"].get("mask_events", False),
         compute_dtype=(jnp.bfloat16 if opt_cfg.get("use_amp") else None),
+        # optimizer.remat: "dots" saves conv/matmul outputs and recomputes
+        # elementwise chains in the backward — measured -24% on the ANN
+        # train step (XLA stops spilling full-res activation copies);
+        # closed NEGATIVE for the SNN (PERF_NOTES "Train step round 3/4")
+        remat=opt_cfg.get("remat"),
         voxelize=voxelize)
     eval_step = make_eval_step(
         encoding=encoding, polarity=polarity and is_snn,
