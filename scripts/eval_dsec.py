@@ -202,8 +202,9 @@ def main():
         return out
 
     pending = []  # device metric dicts, one per batch
-    for i, batch in enumerate(batch_iterator(dataset, batch_size,
-                                             drop_last=False)):
+    for i, batch in enumerate(batch_iterator(
+            dataset, batch_size, drop_last=False,
+            workers=config["loader"].get("n_workers", 0))):
         if i >= max_batches:
             break
         label = jnp.asarray(batch["label"])

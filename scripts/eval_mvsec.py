@@ -113,8 +113,9 @@ def main():
         return out
 
     pending = []
-    for i, batch in enumerate(batch_iterator(dataset, batch_size,
-                                             drop_last=False)):
+    for i, batch in enumerate(batch_iterator(
+            dataset, batch_size, drop_last=False,
+            workers=config["loader"].get("n_workers", 0))):
         if i >= max_batches:
             break
         flows = eval_step(state, jnp.asarray(batch["chunk"]))

@@ -265,26 +265,58 @@ def _stack_events(event_dicts):
     return out
 
 
+def _collate(items) -> dict:
+    chunks, masks, labels = zip(*items)
+    batch = {
+        "mask": np.stack(masks)[:, None].astype(np.float32),
+        "label": np.stack(labels),
+    }
+    if isinstance(chunks[0], dict):
+        batch["events"] = _stack_events(chunks)
+    else:
+        batch["chunk"] = np.stack(chunks)
+    return batch
+
+
 def batch_iterator(dataset, batch_size: int, *, shuffle=False, seed=0,
-                   drop_last=True) -> Iterator[dict]:
+                   drop_last=True, workers: int = 0) -> Iterator[dict]:
     """Minimal host-side batcher yielding dict batches of stacked numpy
     arrays: chunk [B, ...], mask [B, 1, H, W] float, label [B, 2, H, W].
     Items whose first element is an events dict (raw-list datasets) yield
-    ``events`` (dict of [B, N] buffers) instead of ``chunk``."""
+    ``events`` (dict of [B, N] buffers) instead of ``chunk``.
+
+    ``workers >= 2`` fetches items through a thread pool, keeping up to two
+    batches of item futures in flight. The GIL is released inside the C++
+    pack kernels (ctypes foreign calls) and large numpy ops, so on a
+    multi-core host the per-item packing cost (~44 ms/window at the full
+    DSEC events protocol, PERF_NOTES) scales across cores instead of
+    serializing — this is what feeds a dp>=2 events-path step without the
+    host gating it. Batch composition and order are IDENTICAL to the
+    serial path (items are keyed by index; datasets here derive their RNG
+    from ``seed + idx``, never from shared state), matching the reference's
+    ``DataLoader(num_workers=config["loader"]["n_workers"])`` determinism
+    (/root/reference/train_flow_parallel_supervised_SNN.py:194)."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
+    idx_batches = []
     for start in range(0, len(order), batch_size):
         idxs = order[start:start + batch_size]
         if drop_last and len(idxs) < batch_size:
-            return
-        chunks, masks, labels = zip(*(dataset[i] for i in idxs))
-        batch = {
-            "mask": np.stack(masks)[:, None].astype(np.float32),
-            "label": np.stack(labels),
-        }
-        if isinstance(chunks[0], dict):
-            batch["events"] = _stack_events(chunks)
-        else:
-            batch["chunk"] = np.stack(chunks)
-        yield batch
+            break
+        idx_batches.append(idxs)
+    if workers and workers >= 2:
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            pending = collections.deque()
+            for idxs in idx_batches:
+                pending.append([ex.submit(dataset.__getitem__, int(i))
+                                for i in idxs])
+                if len(pending) > 2:
+                    yield _collate([f.result() for f in pending.popleft()])
+            while pending:
+                yield _collate([f.result() for f in pending.popleft()])
+    else:
+        for idxs in idx_batches:
+            yield _collate([dataset[i] for i in idxs])

@@ -273,10 +273,12 @@ def _train_epochs(config, state, train_dataset, valid_dataset, *, run_dir,
             # global shuffle (same seed on every process), then the local
             # contiguous slice — epochs match single-host statistics
             train_dataset.reshard(loader.get("seed", 0) + epoch)
-            batches = batch_iterator(train_dataset, local_bs)
+            batches = batch_iterator(train_dataset, local_bs,
+                                     workers=loader.get("n_workers", 0))
         else:
             batches = batch_iterator(train_dataset, local_bs, shuffle=True,
-                                     seed=loader.get("seed", 0) + epoch)
+                                     seed=loader.get("seed", 0) + epoch,
+                                     workers=loader.get("n_workers", 0))
         for batch in prefetch_to_device(batches, mesh, put=put):
             if "events" in batch:
                 # raw-events path: voxelization happens on device inside the
@@ -372,7 +374,8 @@ def validate(config, state, eval_step, dataset, crop=None, batch_size=None,
                                     flow_scaling=flow_scaling)
 
     loss_jit = jax.jit(_loss)
-    for i, batch in enumerate(batch_iterator(dataset, batch_size)):
+    for i, batch in enumerate(batch_iterator(
+            dataset, batch_size, workers=loader.get("n_workers", 0))):
         if i >= max_batches:
             break
         label = jnp.asarray(batch["label"])

@@ -113,3 +113,51 @@ def test_dsec_synthetic_dataset_and_batching():
     assert b["chunk"].shape == (2, 4, 16, 16)
     assert b["mask"].shape == (2, 1, 16, 16)
     assert b["label"].shape == (2, 2, 16, 16)
+
+
+def test_batch_iterator_workers_matches_serial():
+    """The threaded fetch path (loader.n_workers, the reference's
+    DataLoader(num_workers=...) counterpart) must yield batches IDENTICAL
+    to the serial path — same composition, same order, byte-equal arrays —
+    for both the preprocessed-chunk and raw-events dataset shapes."""
+    from sdformerflow_tpu.data.dsec import (SyntheticEventFlowDataset,
+                                            SyntheticEventListDataset,
+                                            batch_iterator)
+
+    chunk_ds = SyntheticEventFlowDataset(num_samples=7, num_bins=4,
+                                         height=16, width=16)
+    ev_ds = SyntheticEventListDataset(num_samples=7, num_bins=4, height=16,
+                                      width=16, max_events=1 << 10)
+    for ds in (chunk_ds, ev_ds):
+        serial = list(batch_iterator(ds, 2, shuffle=True, seed=3))
+        threaded = list(batch_iterator(ds, 2, shuffle=True, seed=3,
+                                       workers=4))
+        assert len(serial) == len(threaded) == 3
+        for a, b in zip(serial, threaded):
+            assert set(a) == set(b)
+            for k in a:
+                if isinstance(a[k], dict):
+                    for kk in a[k]:
+                        np.testing.assert_array_equal(a[k][kk], b[k][kk])
+                else:
+                    np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_batch_iterator_workers_propagates_errors():
+    from sdformerflow_tpu.data.dsec import batch_iterator
+
+    class Boom:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, idx):
+            if idx == 2:
+                raise ValueError("boom")
+            import numpy as _np
+            return (_np.zeros((2, 4, 4), _np.float32),
+                    _np.ones((4, 4), _np.float32),
+                    _np.zeros((2, 4, 4), _np.float32))
+
+    import pytest
+    with pytest.raises(ValueError, match="boom"):
+        list(batch_iterator(Boom(), 2, workers=2))
