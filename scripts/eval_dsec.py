@@ -23,13 +23,14 @@ import numpy as np  # noqa: E402
 
 from sdformerflow_tpu.data.augmentation import center_crop  # noqa: E402
 from sdformerflow_tpu.data.dsec import batch_iterator  # noqa: E402
-from sdformerflow_tpu.losses import aae_metric, aee_metrics  # noqa: E402
 from sdformerflow_tpu.models import get_model  # noqa: E402
 from sdformerflow_tpu.ops.normalization import encode_input  # noqa: E402
 from sdformerflow_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 from sdformerflow_tpu.training.config import (build_configs,  # noqa: E402
                                               load_config, merge_eval_config)
 from sdformerflow_tpu.training.checkpoints import restore_checkpoint  # noqa: E402
+from sdformerflow_tpu.training.evaluate import (MetricsAccumulator,  # noqa: E402
+                                                make_metrics_fn)
 from sdformerflow_tpu.training.optim import build_optimizer  # noqa: E402
 from sdformerflow_tpu.training.train_step import (create_train_state,  # noqa: E402
                                                   make_eval_step)
@@ -65,11 +66,14 @@ def main():
                          "vis.monitor_v, eval_DSEC_flow_SNN.py:145-149)")
     ap.add_argument("--s2d_embed", action="store_true",
                     help="exact space-to-depth embed re-expression (+13%% "
-                         "TPU forward, training/s2d_embed.py). Runs BN on "
-                         "running stats, so the reference's batch-1 "
-                         "train-mode-BN validation quirk is disabled")
+                         "TPU forward, training/s2d_embed.py); exact for "
+                         "the eval protocol's running-stats BN")
     ap.add_argument("--log_attn", action="store_true",
                     help="store per-stage attention maps of the first batch")
+    ap.add_argument("--max_batches", type=int, default=None,
+                    help="cap the eval loop (the reference eval runs the "
+                         "full dataset — test.sample caps only in-training "
+                         "validation; this cap is ours, for smoke runs)")
     args = ap.parse_args()
 
     config = load_config(args.train_config)
@@ -155,15 +159,18 @@ def main():
     if args.s2d_embed:
         from sdformerflow_tpu.training.s2d_embed import s2d_state
         _, state = s2d_state(model, state)
-        print("s2d embed re-expression on (running-stats BN; the batch-1 "
-              "train-mode-BN quirk is disabled)")
+        print("s2d embed re-expression on")
     if args.energy_report:
         args.store_spike_rates = True
     collect_sites = args.store_spike_rates or args.store_membrane
     eval_step = make_eval_step(
         encoding=encoding, polarity=polarity, norm_input=norm_input,
         spike_th=spike_th,
-        use_batch_stats=batch_size == 1 and not args.s2d_embed,
+        # the standalone eval protocol always runs in eval mode (running-stat
+        # BN): eval_DSEC_flow_SNN.py:125 model.eval(). The batch-1
+        # train-mode-BN quirk belongs ONLY to in-training validation
+        # (train_flow_parallel_supervised_SNN.py:382-385 -> train_loop)
+        use_batch_stats=False,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         collect_spike_rates=collect_sites, voxelize=voxelize,
         crop=tuple(crop) if (voxelize and crop) else None)
@@ -177,35 +184,26 @@ def main():
         vis = AsyncVisWriter(FlowVisualizer(f"{args.run_dir}/vis",
                                             store=True))
 
-    flow_scaling = config["metrics"].get("flow_scaling", 1.0)
     metric_names = config["metrics"].get("name", ["AEE"])
     mask_events = config["metrics"].get("mask_events", False)
-    max_batches = config["test"].get("sample", 10 ** 9)
-
-    acc = {k: [] for k in ("AEE", "PE1", "PE2", "PE3", "outlier", "AAE")}
+    # reference protocol (eval_DSEC_flow_SNN.py:237-240): the event mask is
+    # the ENCODED chunk's footprint — recomputed inside metrics_fn with the
+    # eval step's own encode args. Raw-events mode voxelizes+crops in-step,
+    # so the chunk never exists host-side; that combination has no reference
+    # counterpart (the reference eval is offline-voxel only) and mask_events
+    # is skipped there (metrics_fn receives chunk=None via the dict guard).
+    metrics_fn = make_metrics_fn(
+        metric_names=metric_names,
+        flow_scaling=config["metrics"].get("flow_scaling", 1.0),
+        mask_events=mask_events, encoding=encoding, polarity=polarity,
+        norm_input=norm_input, spike_th=spike_th)
+    acc = MetricsAccumulator()
     spike_rates = None
     membrane = None
-    n = 0
-    # one jitted dispatch per batch for the metric reductions; per-batch
-    # scalar means stay on device and are fetched once after the loop
-    # (a float() per metric per batch serializes the dispatch pipeline —
-    # see PERF_NOTES "Train-loop host pipeline")
-    want_aae = "AAE" in metric_names
-
-    @jax.jit
-    def metrics_jit(pred, label, m):
-        stats = aee_metrics(pred, label, m, flow_scaling)
-        out = {k: stats[k].mean()
-               for k in ("AEE", "PE1", "PE2", "PE3", "outlier")}
-        if want_aae:
-            out["AAE"] = aae_metric(pred, label, m, flow_scaling)
-        return out
-
-    pending = []  # device metric dicts, one per batch
     for i, batch in enumerate(batch_iterator(
             dataset, batch_size, drop_last=False,
             workers=config["loader"].get("n_workers", 0))):
-        if i >= max_batches:
+        if args.max_batches is not None and i >= args.max_batches:
             break
         label = jnp.asarray(batch["label"])
         mask = jnp.asarray(batch["mask"])
@@ -240,12 +238,9 @@ def main():
         else:
             flows = step_out
         pred = flows[-1]
-        m = mask
-        if mask_events and not isinstance(chunk, dict):
-            axes = (1, 2) if chunk.ndim == 5 else (1,)
-            ev = (jnp.abs(chunk).sum(axis=axes) != 0)
-            m = m * ev[:, None].astype(m.dtype)
-        pending.append(metrics_jit(pred, label, m))
+        acc.append(metrics_fn(pred, label, mask,
+                              None if isinstance(chunk, dict) else chunk),
+                   label.shape[0])
         if vis is not None:
             # device arrays handed off as-is; the writer thread fetches
             vis.update(flow=pred[0], gt_flow=label[0],
@@ -262,17 +257,10 @@ def main():
             np.savez(f"{args.run_dir}/attention_maps.npz",
                      **{f"stage{k}": np.asarray(a)
                         for k, a in enumerate(out["attn"] or [])})
-        n += 1
 
     if vis is not None:
         vis.close()  # drain the writer queue; re-raises writer errors
-    if pending:
-        fetched = jax.device_get(jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *pending))
-        for k, v in fetched.items():
-            acc[k] = [float(x) for x in np.asarray(v)]
-    results = {k: float(np.mean(v)) for k, v in acc.items() if v}
-    results["num_batches"] = n
+    results = acc.results()
     if spike_rates is not None:
         results["mean_firing_rate"] = float(np.mean(list(spike_rates.values())))
     energy = None

@@ -3,7 +3,15 @@
 AEE/AAE on |flow|<1000 validity (outdoor_day1 masks car-hood rows), optional
 event-occupancy masking.
 
-Replaces /root/reference/eval_MV_flow_SNN.py.
+Replaces /root/reference/eval_MV_flow_SNN.py. Protocol notes (A/B'd in
+tests/test_eval_loop_parity.py):
+- metrics.mask_events masks by the ENCODED chunk's nonzero footprint
+  (eval_MV_flow_SNN.py:217-219) — NOT the loaders' ``event_valid``
+  histogram, which the reference produces but never consumes;
+- metrics are summed per sample and divided by the total sample count
+  (training/evaluate.py), and the loop runs the FULL dataset — the
+  reference eval loop has no ``test.sample`` cap (that caps only the
+  in-training validation); use --max_batches for a deliberate cap.
 
     python scripts/eval_mvsec.py --train_config configs/train_mdr_sdformerflow.yaml \
         --eval_config configs/eval_mvsec.yaml --ckpt runs/mdr/ckpt
@@ -18,15 +26,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
 
 from sdformerflow_tpu.data.dsec import batch_iterator  # noqa: E402
-from sdformerflow_tpu.losses import aae_metric, aee_metrics  # noqa: E402
 from sdformerflow_tpu.models import get_model  # noqa: E402
 from sdformerflow_tpu.ops.normalization import encode_input  # noqa: E402
 from sdformerflow_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 from sdformerflow_tpu.training.config import build_configs, load_config  # noqa: E402
 from sdformerflow_tpu.training.checkpoints import restore_checkpoint  # noqa: E402
+from sdformerflow_tpu.training.evaluate import (MetricsAccumulator,  # noqa: E402
+                                                make_metrics_fn)
 from sdformerflow_tpu.training.optim import build_optimizer  # noqa: E402
 from sdformerflow_tpu.training.train_step import (create_train_state,  # noqa: E402
                                                   make_eval_step)
@@ -44,6 +52,9 @@ def main():
     ap.add_argument("--sequence", default=None,
                     help="override data.test_sequence")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--max_batches", type=int, default=None,
+                    help="cap the eval loop (the reference runs the full "
+                         "dataset; this cap is ours, for smoke runs)")
     args = ap.parse_args()
 
     config = load_config(args.train_config)
@@ -72,7 +83,7 @@ def main():
         else:
             from sdformerflow_tpu.data.mvsec import MvsecEventFlow_dt4
             mv = MvsecEventFlow_dt4(config, train=False)
-        dataset = MvsecChunkAdapter(mv, num_chunks, mask_events=mask_events)
+        dataset = MvsecChunkAdapter(mv, num_chunks)
 
     model_cfg, swin_cfg, spiking_cfg = build_configs(config)
     swin_cfg = swin_cfg.replace(input_size=crop)
@@ -93,45 +104,31 @@ def main():
         state, epoch = restore_checkpoint(args.ckpt, state)
         print(f"restored checkpoint epoch {epoch}")
 
+    # the standalone eval protocol always runs in eval mode (running-stat
+    # BN): eval_MV_flow_SNN.py:142 model.eval(). The batch-1 train-mode-BN
+    # quirk belongs ONLY to in-training validation
+    # (train_flow_parallel_supervised_SNN.py:382-385 -> train_loop.validate)
     eval_step = make_eval_step(polarity=polarity, norm_input=norm_input,
-                               spike_th=spike_th,
-                               use_batch_stats=batch_size == 1)
+                               spike_th=spike_th, use_batch_stats=False)
 
-    flow_scaling = config["metrics"].get("flow_scaling", 1.0)
-    max_batches = config["test"].get("sample", 10 ** 9)
-    acc = {k: [] for k in ("AEE", "PE1", "PE2", "PE3", "outlier", "AAE")}
-    n = 0
-
-    # one jitted dispatch per batch; scalar metrics stay on device and are
-    # fetched once after the loop (see PERF_NOTES "Train-loop host pipeline")
-    @jax.jit
-    def metrics_jit(pred, label, m):
-        stats = aee_metrics(pred, label, m, flow_scaling)
-        out = {k: stats[k].mean()
-               for k in ("AEE", "PE1", "PE2", "PE3", "outlier")}
-        out["AAE"] = aae_metric(pred, label, m, flow_scaling)
-        return out
-
-    pending = []
+    metrics_fn = make_metrics_fn(
+        metric_names=config["metrics"].get("name", ["AEE", "AAE"]),
+        flow_scaling=config["metrics"].get("flow_scaling", 1.0),
+        mask_events=mask_events, polarity=polarity,
+        norm_input=norm_input, spike_th=spike_th)
+    acc = MetricsAccumulator()
     for i, batch in enumerate(batch_iterator(
             dataset, batch_size, drop_last=False,
             workers=config["loader"].get("n_workers", 0))):
-        if i >= max_batches:
+        if args.max_batches is not None and i >= args.max_batches:
             break
-        flows = eval_step(state, jnp.asarray(batch["chunk"]))
-        pred = flows[-1]
-        label = jnp.asarray(batch["label"])
-        mask = jnp.asarray(batch["mask"])
-        pending.append(metrics_jit(pred, label, mask))
-        n += 1
+        chunk = jnp.asarray(batch["chunk"])
+        flows = eval_step(state, chunk)
+        acc.append(metrics_fn(flows[-1], jnp.asarray(batch["label"]),
+                              jnp.asarray(batch["mask"]), chunk),
+                   chunk.shape[0])
 
-    if pending:
-        fetched = jax.device_get(jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *pending))
-        for k, v in fetched.items():
-            acc[k] = [float(x) for x in np.asarray(v)]
-    results = {k: float(np.mean(v)) for k, v in acc.items() if v}
-    results["num_batches"] = n
+    results = acc.results()
     results["sequence"] = config["data"].get("test_sequence")
     logger = RunLogger(args.run_dir, config)
     logger.log_artifact_dict("results.json", results)

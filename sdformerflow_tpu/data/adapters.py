@@ -42,10 +42,16 @@ class MDRChunkAdapter:
 
 
 class MvsecChunkAdapter:
-    def __init__(self, dataset, num_chunks: int, mask_events: bool = False):
+    """MVSEC eval adapter. Deliberately does NOT fold the dataset's
+    ``event_valid`` histogram mask into the validity mask: the reference
+    loaders produce it (MDR_dataloader/MVSEC.py:145-150) but no reference
+    script consumes it — the eval protocol's ``metrics.mask_events`` masks
+    by the ENCODED chunk's footprint instead (eval_MV_flow_SNN.py:217-219,
+    implemented in training/evaluate.py::event_footprint_mask)."""
+
+    def __init__(self, dataset, num_chunks: int):
         self.ds = dataset
         self.num_chunks = num_chunks
-        self.mask_events = mask_events
 
     def __len__(self):
         return len(self.ds)
@@ -55,7 +61,4 @@ class MvsecChunkAdapter:
         new, old = s["event_volume_new"], s["event_volume_old"]
         chunk = (np.concatenate([old, new], axis=0)
                  if self.num_chunks == 2 else new)
-        valid = s["valid"]
-        if self.mask_events:
-            valid = valid * s["event_valid"][0]
-        return chunk.astype(np.float32), valid, s["flow"]
+        return chunk.astype(np.float32), s["valid"], s["flow"]

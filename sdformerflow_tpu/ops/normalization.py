@@ -40,12 +40,17 @@ def normalize_nonzero_minmax(x):
 def normalize_nonzero_std(x):
     """Standardize over nonzero entries only (zeros stay zero).
 
-    Parity: train_..._SNN.py:285-291 (norm_input == 'std').
+    Parity: train_..._SNN.py:285-291 (norm_input == 'std'). torch's
+    ``.std()`` is the UNBIASED estimator (n-1 denominator) — caught by
+    tests/test_eval_loop_parity.py; the biased form is ~0.1% off at typical
+    footprints. Degenerate counts match torch's guard: n==1 gives std=nan
+    and n==0 std=-0.0, neither passes ``std > 0``, so x is returned
+    unnormalized either way.
     """
     mask = x != 0
-    count = jnp.maximum(mask.sum(), 1)
-    mean = jnp.sum(jnp.where(mask, x, 0.0)) / count
-    var = jnp.sum(jnp.where(mask, (x - mean) ** 2, 0.0)) / count
+    count = mask.sum()
+    mean = jnp.sum(jnp.where(mask, x, 0.0)) / jnp.maximum(count, 1)
+    var = jnp.sum(jnp.where(mask, (x - mean) ** 2, 0.0)) / (count - 1)
     std = jnp.sqrt(var)
     normed = jnp.where(mask, (x - mean) / jnp.where(std > 0, std, 1.0), x)
     return jnp.where(std > 0, normed, x)

@@ -366,10 +366,10 @@ def validate(config, state, eval_step, dataset, crop=None, batch_size=None,
 
     def _loss(fl, la, mk, chunk):
         if mask_events and not isinstance(chunk, dict):
+            from .evaluate import event_footprint_mask
             x = encode_input(chunk, encoding=encoding, polarity=polarity,
                              norm_input=norm_input, spike_th=spike_th)
-            axes = (1, 2) if x.ndim == 5 else (1,)
-            mk = mk * (x.sum(axis=axes) != 0)[:, None].astype(mk.dtype)
+            mk = event_footprint_mask(mk, x)
         return flow_loss_supervised([fl[-1]], la, mk,
                                     flow_scaling=flow_scaling)
 

@@ -194,6 +194,15 @@ def make_train_step(*, encoding="voxel", polarity=True, norm_input="minmax",
             x = chunk
         mask = batch["mask"]
         if mask_events:
+            # encoded-chunk footprint: matches the reference's live forms —
+            # DSEC SNN train sum(sum(chunk,1),1,keepdim).bool() on 5D
+            # (train_flow_parallel_supervised_SNN.py:303-306) and the ANN
+            # loops' unsqueeze(sum(chunk,1).bool(),1) on 4D
+            # (train_flow_parallel_supervised.py:248-250). Known deviation,
+            # dormant: train_mdr_supervised_SNN.py:272-274 applies
+            # unsqueeze(sum(chunk,1).bool(),1) to the 5D chunk, yielding a
+            # per-POLARITY [B,1,2,H,W] mask; every shipped MDR config has
+            # metrics.mask_events False, so that quirk is unreachable.
             axes = (1, 2) if x.ndim == 5 else (1,)
             event_mask = (x.sum(axis=axes) != 0)  # [B, H, W]
             mask = mask * event_mask[:, None].astype(mask.dtype)

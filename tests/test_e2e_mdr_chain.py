@@ -142,9 +142,13 @@ def test_mdr_train_mvsec_eval_chain(mdr_mvsec_root, tmp_path, monkeypatch):
     assert all(np.isfinite(m["value"]) for m in metrics)
 
     eval_run = tmp_path / "eval"
+    # --max_batches: the eval loop now runs the FULL dataset by default
+    # (reference semantics); the fixture materializes only the first 12
+    # event/GT files of indoor_flying4's (196, 570) valid range
     monkeypatch.setattr(sys, "argv", [
         "eval_mvsec", "--train_config", str(cfg_path),
-        "--ckpt", str(run_dir / "ckpt"), "--run_dir", str(eval_run)])
+        "--ckpt", str(run_dir / "ckpt"), "--run_dir", str(eval_run),
+        "--max_batches", "3"])
     eval_mvsec.main()
     results = json.loads((eval_run / "results.json").read_text())
     assert results["num_batches"] >= 1
