@@ -90,11 +90,19 @@ def main():
         rates.append(batch * iters / elapsed)
     windows_per_sec = statistics.median(rates)
 
+    # Honest-noise reporting (repo methodology, CLAUDE.md): single runs
+    # through the axon tunnel vary a few percent run to run; the headline is
+    # the median of ``repeats`` timed runs and the min/max spread of those
+    # runs is published alongside it so round-over-round drifts inside the
+    # spread are attributable to measurement noise, not regressions.
     print(json.dumps({
         "metric": "sdformerflow_en4_dsec_eval_inference",
         "value": round(windows_per_sec, 3),
         "unit": "windows/sec/chip",
         "vs_baseline": round(windows_per_sec / R01_BASELINE, 3),
+        "spread_min": round(min(rates), 3),
+        "spread_max": round(max(rates), 3),
+        "n_runs": repeats,
     }))
 
 

@@ -146,6 +146,31 @@ def _train(config: dict, train_dataset, valid_dataset=None, *,
     spike_th = config["data"].get("spike_th")
     is_snn = "Spiking" in name
 
+    # Known-fatal combination guard: optimizer.remat at per-device batch >= 8
+    # on the ANN family crashes the TPU worker (the recompute graph of the
+    # full-resolution embed band OOMs — measured, PERF_NOTES.md round 4
+    # "batch/remat matrix"). Fail fast with the measured evidence instead of
+    # letting the device die mid-epoch. Per-DEVICE batch is what matters: an
+    # 8-sample global batch on an 8-chip data-parallel mesh runs batch 1 per
+    # chip, where remat is the measured optimum (80.1 ms vs 105.7).
+    if opt_cfg.get("remat") and not is_snn:
+        if n_proc > 1:
+            _n_data = n_proc  # one local device per process (multihost.py)
+        else:
+            _n_data = loader.get("n_data") or math.gcd(batch_size,
+                                                       len(jax.devices()))
+        per_device_batch = batch_size // max(_n_data, 1)
+        if per_device_batch >= 8:
+            raise ValueError(
+                f"optimizer.remat={opt_cfg['remat']!r} with per-device batch "
+                f"{per_device_batch} (global {batch_size} over {_n_data} "
+                "data-parallel devices) on the ANN family crashes the TPU "
+                "worker: the rematerialized backward of the full-resolution "
+                "embed band OOMs (measured, PERF_NOTES.md round-4 batch/remat "
+                "matrix). Drop optimizer.remat (batch 8 plain is the "
+                "throughput optimum, 41.2 ms/window) or reduce the per-device "
+                "batch below 8.")
+
     sample = _sample_shape_batch(config, train_dataset)
     sample_enc = encode_input(jnp.asarray(sample), encoding=encoding,
                               polarity=polarity and is_snn,

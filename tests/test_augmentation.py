@@ -12,6 +12,10 @@ import numpy as np
 from sdformerflow_tpu.data.augmentation import (build_train_augmentation,
                                                 rotation_flip)
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def _data(rng, b=2, bins=4, h=8, w=12):
     k1, k2 = jax.random.split(jax.random.PRNGKey(rng))

@@ -3,6 +3,10 @@
 from sdformerflow_tpu.training.config import (combine_entries, load_config,
                                               merge_eval_config)
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def test_merge_eval_config_overrides_scalars_and_dicts():
     train = {"experiment": "train_run", "loader": {"batch_size": 8,

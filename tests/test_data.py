@@ -7,6 +7,8 @@ import pytest
 from sdformerflow_tpu.data import loader_utils as LU
 from sdformerflow_tpu.ops import voxel as V
 
+pytestmark = pytest.mark.smoke
+
 
 def _events(n=400, h=32, w=40, seed=0):
     rng = np.random.default_rng(seed)

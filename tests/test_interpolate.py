@@ -9,6 +9,10 @@ import torch.nn.functional as F
 
 from sdformerflow_tpu.ops.interpolate import resize_bilinear, resize_nearest
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def _rand(h, w, c=3, seed=0):
     return np.random.default_rng(seed).normal(size=(2, h, w, c)).astype(

@@ -3,6 +3,10 @@ import numpy as np
 
 from sdformerflow_tpu import losses
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def _synthetic(b=2, h=8, w=8, seed=0):
     rng = np.random.default_rng(seed)

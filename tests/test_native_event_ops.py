@@ -9,6 +9,8 @@ import pytest
 
 from sdformerflow_tpu import native
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def stream():

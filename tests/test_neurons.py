@@ -5,6 +5,8 @@ import pytest
 
 from sdformerflow_tpu.ops import neurons, surrogate
 
+pytestmark = pytest.mark.smoke
+
 
 def _np_lif_trace(x_seq, v_th, v_reset, tau, decay_input=True):
     """Closed-form numpy LIF reference (SpikingJelly semantics)."""

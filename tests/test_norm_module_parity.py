@@ -23,6 +23,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from sdformerflow_tpu.models.spiking_layers import SpikingNorm  # noqa: E402
 
+pytestmark = pytest.mark.smoke
+
 
 def _to_torch(x_tbhwc):
     # [T, B, H, W, C] -> [T, B, C, H, W]

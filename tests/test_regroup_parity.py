@@ -8,6 +8,10 @@ import torch
 from sdformerflow_tpu.models.spiking_patch_embed import (chunk_regroup,
                                                          sfn_regroup)
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def _torch_sfn(x, num_steps):
     # reference: event_reprs [B, bins, 2, H, W] -> permute(0,2,3,4,1);

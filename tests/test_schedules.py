@@ -22,6 +22,8 @@ from sdformerflow_tpu.training.optim import (build_optimizer,
                                              multistep_schedule,
                                              onecycle_schedule)
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.mark.parametrize("num_acc", [1, 2])
 def test_multistep_schedule_vs_torch(num_acc):

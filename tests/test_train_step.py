@@ -52,6 +52,7 @@ def state_and_steps():
     return state, train_step, eval_step
 
 
+@pytest.mark.smoke
 def test_single_train_step(state_and_steps):
     state, train_step, _ = state_and_steps
     batch = _batch()
@@ -66,6 +67,7 @@ def test_single_train_step(state_and_steps):
     assert max(jax.tree_util.tree_leaves(delta)) > 0
 
 
+@pytest.mark.smoke
 def test_loss_decreases(state_and_steps):
     state, train_step, _ = state_and_steps
     batch = _batch()
@@ -76,6 +78,7 @@ def test_loss_decreases(state_and_steps):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.smoke
 def test_eval_step(state_and_steps):
     state, _, eval_step = state_and_steps
     batch = _batch()

@@ -11,6 +11,10 @@ import numpy as np
 
 from sdformerflow_tpu.ops import voxel
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def _random_events(n=500, h=32, w=48, seed=0):
     rng = np.random.default_rng(seed)

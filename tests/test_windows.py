@@ -5,6 +5,10 @@ from sdformerflow_tpu.ops import windows
 from sdformerflow_tpu.ops.normalization import (
     normalize_nonzero_minmax, polarity_split, spike_binarize)
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def test_window_partition_reverse_roundtrip():
     rng = np.random.default_rng(0)
