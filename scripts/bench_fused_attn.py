@@ -1,0 +1,147 @@
+"""On-chip A/B: fused Pallas spiking-QK window attention vs the XLA module,
+at all four en4 stage shapes (VERDICT r4 #1 closure evidence) plus the full
+flagship forward with cfg.fused_qk_attn.
+
+Protocol per CLAUDE.md: device-serialized chains (the attention output has
+the input's shape, so iterations chain directly), one scalar fetch per
+timed block, medians over repeats. bf16 operands (the eval numeric policy).
+
+Stage shapes (en4 @ 288x384, patch (1,1,2,2), window (2,9,9), T=10):
+  stage0: 144x192 C=96  nh=3  -> x_windows [2, 1760, 9, 9, 96]
+  stage1:  72x 96 C=192 nh=6  -> [2, 440, 9, 9, 192]
+  stage2:  36x 48 C=384 nh=12 -> [2, 120, 9, 9, 384]
+  stage3:  18x 24 C=768 nh=24 -> [2,  30, 9, 9, 768]
+"""
+
+import argparse
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+
+from sdformerflow_tpu.models.common import SpikingConfig
+from sdformerflow_tpu.models.spiking_swin import SpikingQKWindowAttention3D
+from sdformerflow_tpu.ops.pallas_attn import (QKAttnParams, bn_eval_affine,
+                                              fused_qk_attention)
+from sdformerflow_tpu.utils.cache import enable_compilation_cache
+
+STAGES = [  # (name, M, C, nh)
+    ("stage0", 1760, 96, 3),
+    ("stage1", 440, 192, 6),
+    ("stage2", 120, 384, 12),
+    ("stage3", 30, 768, 24),
+]
+
+
+def _params_from_module(C, nh, key, dtype):
+    cfg = SpikingConfig(num_steps=2, v_th=0.1, v_reset=None,
+                        neuron_type="psn", spike_norm="BN")
+    mod = SpikingQKWindowAttention3D(dim=C, window_size=(2, 9, 9),
+                                     num_heads=nh, cfg=cfg, norm="BN")
+    x0 = jax.random.normal(key, (2, 4, 9, 9, C), jnp.float32)
+    variables = jax.jit(lambda r, z: mod.init({"params": r}, z, None,
+                                              False))(key, x0)
+    # randomize (PERF_NOTES: degenerate inits hide rerouting; for timing it
+    # also keeps firing rates realistic)
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    ks = jax.random.split(jax.random.fold_in(key, 3), len(leaves))
+    variables = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(0.4 * jax.random.normal(k, l.shape), l.dtype)
+                  for k, l in zip(ks, leaves)])
+    variables = {"params": variables["params"],
+                 "batch_stats": jax.tree_util.tree_map(
+                     lambda a: jnp.abs(a) + 0.3, variables["batch_stats"])}
+    p = variables["params"]
+    s = variables["batch_stats"]
+
+    def aff(scope):
+        bn = p[scope]["bn"]["BatchNorm_0"]
+        st = s[scope]["bn"]["BatchNorm_0"]
+        return bn_eval_affine(bn["scale"], bn["bias"], st["mean"],
+                              st["var"])
+
+    aq, cq = aff("q")
+    ak, ck = aff("k")
+    ap, cp = bn_eval_affine(p["proj_bn"]["BatchNorm_0"]["scale"],
+                            p["proj_bn"]["BatchNorm_0"]["bias"],
+                            s["proj_bn"]["BatchNorm_0"]["mean"],
+                            s["proj_bn"]["BatchNorm_0"]["var"])
+    kp = QKAttnParams(
+        w_in=p["proj_sn"]["weight"].astype(dtype),
+        b_in=p["proj_sn"]["bias"].astype(dtype),
+        wq=p["q"]["linear"]["kernel"].astype(dtype), aq=aq, cq=cq,
+        w_q=p["q"]["sn"]["weight"].astype(dtype),
+        b_q=p["q"]["sn"]["bias"].astype(dtype),
+        wk=p["k"]["linear"]["kernel"].astype(dtype), ak=ak, ck=ck,
+        pe=p["k"]["positional_encoding"].reshape(2, -1, C).astype(dtype),
+        w_k=p["k"]["sn"]["weight"].astype(dtype),
+        b_k=p["k"]["sn"]["bias"].astype(dtype),
+        w_t=p["sn2_q"]["weight"].astype(dtype),
+        b_t=p["sn2_q"]["bias"].astype(dtype),
+        wp=p["proj"]["kernel"].astype(dtype),
+        bp=p["proj"]["bias"].astype(dtype), ap=ap, cp=cp)
+    cast_vars = {
+        "params": jax.tree_util.tree_map(lambda a: a.astype(dtype),
+                                         variables["params"]),
+        "batch_stats": variables["batch_stats"],
+    }
+    return mod, cast_vars, kp
+
+
+def _time_chain(step, x, iters, repeats):
+    y = step(x)  # compile + warm
+    float(jnp.sum(y.astype(jnp.float32)))
+    rates = []
+    for _ in range(repeats):
+        o = x
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = step(o)
+        float(jnp.sum(o.astype(jnp.float32)))
+        rates.append((time.perf_counter() - t0) / iters * 1e3)
+    return statistics.median(rates)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--check", action="store_true",
+                    help="also assert fused == xla on-chip (f32)")
+    args = ap.parse_args()
+    enable_compilation_cache()
+    dtype = jnp.dtype(args.dtype)
+
+    print(f"backend={jax.default_backend()} dtype={dtype}")
+    print(f"{'stage':8s} {'M':>5s} {'C':>4s} {'xla ms':>8s} {'fused ms':>9s}"
+          f" {'speedup':>8s}")
+    for name, M, C, nh in STAGES:
+        key = jax.random.fold_in(jax.random.PRNGKey(0), C)
+        mod, variables, kp = _params_from_module(C, nh, key, dtype)
+        x = (jax.random.uniform(key, (2, M, 9, 9, C)) < 0.2).astype(dtype)
+
+        @jax.jit
+        def xla_step(z, variables=variables, mod=mod):
+            out, _ = mod.apply(variables, z, None, False)
+            return out.astype(z.dtype)
+
+        @jax.jit
+        def fused_step(z, kp=kp, nh=nh):
+            return fused_qk_attention(z, kp, nh).astype(z.dtype)
+
+        if args.check:
+            import numpy as np
+            a = np.asarray(xla_step(x), jnp.float32)
+            b = np.asarray(fused_step(x), jnp.float32)
+            err = np.max(np.abs(a - b))
+            print(f"  {name} on-chip max|xla-fused| = {err:.3e}")
+        ms_x = _time_chain(xla_step, x, args.iters, args.repeats)
+        ms_f = _time_chain(fused_step, x, args.iters, args.repeats)
+        print(f"{name:8s} {M:5d} {C:4d} {ms_x:8.3f} {ms_f:9.3f}"
+              f" {ms_x / ms_f:8.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,16 @@ class SpikingConfig:
     # Unlike s2d_embed this needs no variable transform; flip the flag on a
     # cloned model and reuse the same variables.
     s2d_train: bool = False
+    # Fused Pallas spiking-QK window attention (inference-only, PSN + BN +
+    # wd==2): runs the whole attention interior — proj_sn spike, q/k
+    # linear+BN-affine+PE+spike, att_token, raw-refold product, head
+    # regroup, proj linear+BN-affine — in one kernel per column-pair block
+    # (ops/pallas_attn.py; the fold algebra is re-derived pair-locally and
+    # f64-verified in tests/test_pallas_attn.py). The variable tree is
+    # IDENTICAL to the base model (twin param declarations), so the flag
+    # flips on a cloned model with the same variables. Eval-mode only;
+    # train / non-PSN / odd window-batch calls fall back to the XLA path.
+    fused_qk_attn: bool = False
 
     def replace(self, **kw) -> "SpikingConfig":
         return dataclasses.replace(self, **kw)

@@ -33,10 +33,12 @@ from __future__ import annotations
 import math
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops import windows as W
+from ..parallel.sharding_rules import constrain_data_parallel
 from .common import SpikingConfig, kaiming_normal_fan_out
 from .spiking_layers import (SpikingNeuron, SpikingNorm, drop_path,
                              norm_is_folded)
@@ -165,10 +167,97 @@ class SpikingBNWindowAttention3D(nn.Module):
         return out, attn  # [T, B_, wh, ww, C] (time-major windows)
 
 
+class _PSNTwin(nn.Module):
+    """Param twin of SpikingNeuron's PSN branch: declares the identical
+    weight/bias (same names, shapes, inits — see SpikingNeuron._fire) and
+    returns the VALUES, for the fused Pallas attention path. The variable
+    tree is bit-identical to the XLA path's (tests/test_fused_attn_model.py
+    asserts init equality)."""
+
+    T: int
+
+    @nn.compact
+    def __call__(self):
+        bound = math.sqrt(1.0 / self.T)
+
+        def _uniform_sym(key, shape):
+            return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+        w = self.param("weight", _uniform_sym, (self.T, self.T))
+        b = self.param("bias", nn.initializers.constant(-1.0), (self.T, 1))
+        return w, b
+
+
+class _TorchBNTwin(nn.Module):
+    """Param/stat twin of TorchBatchNorm (eval use): declares the identical
+    scale/bias params and mean/var batch_stats, returns the eval-mode
+    affine (a, c) with y = a*x + c."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        from ..ops.pallas_attn import bn_eval_affine
+        mean = self.variable("batch_stats", "mean",
+                             nn.initializers.zeros, None, (self.features,))
+        var = self.variable("batch_stats", "var",
+                            nn.initializers.ones, None, (self.features,))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return bn_eval_affine(scale, bias, mean.value, var.value)
+
+
+class _BNScopeTwin(nn.Module):
+    """Scope twin of SpikingNorm(norm='BN') — one TorchBatchNorm child named
+    BatchNorm_0 (models/spiking_layers.py SpikingNorm)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _TorchBNTwin(self.features, name="BatchNorm_0")()
+
+
+class _QKVBranchTwin(nn.Module):
+    """Param twin of _QKVBranch (linear kernel + BN + PSN + optional PE);
+    explicit jnp.float32 param dtypes mirror nn.Dense's param_dtype so init
+    values match under enable_x64 too."""
+
+    dim: int
+    T: int
+    pe_shape: Optional[Tuple[int, ...]] = None
+
+    @nn.compact
+    def __call__(self):
+        class _Lin(nn.Module):
+            dim: int
+
+            @nn.compact
+            def __call__(self):
+                return self.param("kernel", kaiming_normal_fan_out,
+                                  (self.dim, self.dim), jnp.float32)
+
+        w = _Lin(self.dim, name="linear")()
+        a, c = _BNScopeTwin(self.dim, name="bn")()
+        pe = None
+        if self.pe_shape is not None:
+            pe = self.param("positional_encoding", nn.initializers.zeros,
+                            self.pe_shape)
+        wsn, bsn = _PSNTwin(self.T, name="sn")()
+        return w, a, c, pe, wsn, bsn
+
+
 class SpikingQKWindowAttention3D(nn.Module):
     """Linear-complexity spiking QK attention (the MS / SDformerFlow path).
 
     attn_token = spike(sum_c q); attn = k * attn_token; no softmax, no mask.
+
+    With ``cfg.fused_qk_attn`` and eval-compatible conditions (PSN, BN, the
+    temporal window == 2, even window-batch) the whole interior runs as ONE
+    Pallas kernel (ops/pallas_attn.py) — identical variable tree, so the
+    flag flips on a cloned model over the same variables. The fused path
+    returns ``attn_scores=None`` (the attention-telemetry spike is not
+    materialized); keep the flag off when collecting attention maps.
     """
 
     dim: int
@@ -180,6 +269,48 @@ class SpikingQKWindowAttention3D(nn.Module):
     pretrained_window_size: Tuple[int, int, int] = (0, 0, 0)
     norm: Optional[str] = "BN"
 
+    def _fused(self, x, acfg, nh, n_all):
+        from ..ops.pallas_attn import QKAttnParams, fused_qk_attention
+        T, B_, Hw, Ww_, C = x.shape
+        hd = C // nh
+        w_in, b_in = _PSNTwin(acfg.num_steps, name="proj_sn")()
+        wq, aq, cq, _, w_q, b_q = _QKVBranchTwin(
+            self.dim, acfg.num_steps, name="q")()
+        wk, ak, ck, pe, w_k, b_k = _QKVBranchTwin(
+            self.dim, acfg.num_steps, pe_shape=(1, nh, n_all, hd),
+            name="k")()
+        w_t, b_t = _PSNTwin(acfg.num_steps, name="sn2_q")()
+        # attention-telemetry neuron: params must exist (tree parity + the
+        # AdamW decay mask keys on the name) even though the fused forward
+        # never fires it
+        _PSNTwin(acfg.num_steps, name="attn_sn")()
+
+        class _Proj(nn.Module):
+            dim: int
+
+            @nn.compact
+            def __call__(self):
+                w = self.param("kernel", kaiming_normal_fan_out,
+                               (self.dim, self.dim), jnp.float32)
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.dim,), jnp.float32)
+                return w, b
+
+        wp, bp = _Proj(self.dim, name="proj")()
+        ap, cp = _BNScopeTwin(self.dim, name="proj_bn")()
+        dt = x.dtype
+        p = QKAttnParams(
+            w_in=w_in.astype(dt), b_in=b_in.astype(dt),
+            wq=wq.astype(dt), aq=aq, cq=cq,
+            w_q=w_q.astype(dt), b_q=b_q.astype(dt),
+            wk=wk.astype(dt), ak=ak, ck=ck,
+            pe=pe.reshape(T, -1, C).astype(dt),
+            w_k=w_k.astype(dt), b_k=b_k.astype(dt),
+            w_t=w_t.astype(dt), b_t=b_t.astype(dt),
+            wp=wp.astype(dt), bp=bp.astype(dt), ap=ap, cp=cp)
+        out = fused_qk_attention(x, p, nh)
+        return out, None
+
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
         del mask  # reference quirk: the shift mask is ignored in this path
@@ -188,6 +319,13 @@ class SpikingQKWindowAttention3D(nn.Module):
         hd = C // nh
         acfg = self.cfg.replace(num_steps=self.window_size[0])
         N_all = self.window_size[0] * self.window_size[1] * self.window_size[2]
+
+        if (self.cfg.fused_qk_attn and not train
+                and self.cfg.neuron_type == "psn"
+                and self.norm == "BN"
+                and not norm_is_folded(self.norm, acfg)
+                and T == 2 and acfg.num_steps == 2 and B_ % 2 == 0):
+            return self._fused(x, acfg, nh, N_all)
 
         x = SpikingNeuron(acfg, name="proj_sn")(x)
         q = _QKVBranch(self.dim, acfg, self.norm, name="q")(x, train)
@@ -277,6 +415,13 @@ class SpikingSwinBlock3D(nn.Module):
 
     def _ssa(self, x, mask_matrix, train, return_attention=False):
         D, B, H, Wd, C = x.shape  # time-major stages: [D, B, H, W, C]
+        # Under a tensor-parallel mesh (jax.set_mesh with model-axis > 1),
+        # pin the attention segment's activations to batch-only sharding:
+        # GSPMD cannot propagate channel shardings through the raw-refold
+        # window reshape chains without involuntary full rematerialization
+        # (MULTICHIP_r04.json) — gather once here, at a boundary where the
+        # resharding fuses into the adjacent matmuls. No-op under pure DP.
+        x = constrain_data_parallel(x, batch_axis=1)
         window_size, shift_size = W.get_window_size(
             (D, H, Wd), self.window_size, self.shift_size)
         if self.norm in ("LN", "GN"):

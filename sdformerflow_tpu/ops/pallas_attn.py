@@ -1,0 +1,330 @@
+"""Fused spiking-QK window attention (the SDformerFlow/MS attention path).
+
+Parity target: Spiking_QK_WindowAttention3D
+(/root/reference/models/STSwinNet_SNN/Spiking_swin_transformer3D.py:605-717)
+— the linear-complexity attention every MS block runs: input PSN spike ->
+q/k linear+BN+spike (k gets a pre-spike positional encoding) -> per-group
+``att_token = spike(sum q)`` -> ``attn = k * att_token`` (through the raw
+time-fold) -> head-scrambled refold -> proj linear + BN. The reference's
+``.reshape`` calls fold the window-time axis into the window-batch / token /
+head axes with raw row-major semantics (the RAW-REFOLD quirk, see
+ops/windows.py) — in XLA these folds lower to the distributed relayout-copy
+tax the round-4 train profile attributes 14.6 ms/step to.
+
+The re-derivation this kernel rests on (verified numerically in
+tests/test_pallas_attn.py against the reference-parity flax module):
+
+1. The ``k``/``att_token`` folds ``(T, B_) -> (B_, 2·)`` use the SAME
+   leading-ravel regroup, so the head-scrambled ``k * att_token`` product is
+   SLAB-LOCAL: ``A[i,j][p, c] = k[i,j][p, c] * att[i,j][p, c // hd]`` —
+   the scramble cancels in the product.
+2. The output refold ``attn.reshape(B_, nh, T, h, w, hd).transpose(...)``
+   routes elements between the two RASTER-ADJACENT slabs ``{2·j2, 2·j2+1}``
+   (the pair fold) and the two raster HALVES ``{j2, M+j2}`` (the time
+   fold). Per pair it is a pure reshape of the pair's ravel
+   ``(2, N_s, C) -> (2·nh, N_s, hd)`` followed by an even/odd deinterleave
+   of the leading axis into (head, time): entirely local to one column
+   pair.
+3. The PSN time-mix pairs raster halves ``{j, M+j}`` (the partition's
+   ``view(wd, -1, ...)``), so gridding over COLUMNS ``j`` keeps every
+   neuron's temporal pair inside one kernel instance.
+
+Consequently one Pallas instance over an even block of columns computes the
+ENTIRE attention — spikes, dots, positional encoding, fold product, refold,
+projection — with zero HBM round-trips between the stages, replacing the
+XLA fold/refold relayout chain.
+
+Scope (falls back to the XLA module outside it): eval mode (BN as running-
+stat affine), PSN neurons, ``wd == 2``, M even, norm == "BN". The time-mix
+weights enter as explicit [2, 2] matrices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class QKAttnParams(NamedTuple):
+    """Everything the fused kernel needs, in kernel-ready form.
+
+    BN sites are eval-mode affines: ``a = scale / sqrt(var + eps)``,
+    ``c = bias - mean * a``. PSN sites are [T, T] weights + [T] biases with
+    T == wd == 2. ``pe`` is the k positional encoding reshaped to
+    [wd, N_s, C] (the reference's ``reshape(T, 1, H, W, C)``,
+    Spiking_swin_transformer3D.py:680-682).
+    """
+
+    w_in: jax.Array    # [2, 2] proj_sn PSN weight
+    b_in: jax.Array    # [2]    proj_sn PSN bias
+    wq: jax.Array      # [C, C] q linear kernel (input-major, flax Dense)
+    aq: jax.Array      # [C]    q BN eval affine scale
+    cq: jax.Array      # [C]    q BN eval affine shift
+    w_q: jax.Array     # [2, 2] q PSN weight
+    b_q: jax.Array     # [2]
+    wk: jax.Array      # [C, C]
+    ak: jax.Array      # [C]
+    ck: jax.Array      # [C]
+    pe: jax.Array      # [2, N_s, C] positional encoding (pre-spike on k)
+    w_k: jax.Array     # [2, 2] k PSN weight
+    b_k: jax.Array     # [2]
+    w_t: jax.Array     # [2, 2] sn2_q (att_token) PSN weight
+    b_t: jax.Array     # [2]
+    wp: jax.Array      # [C, C] proj kernel
+    bp: jax.Array      # [C]    proj bias
+    ap: jax.Array      # [C]    proj BN eval affine scale
+    cp: jax.Array      # [C]    proj BN eval affine shift
+
+
+def bn_eval_affine(scale, bias, mean, var, eps=1e-5):
+    """TorchBatchNorm eval as an affine: y = a * x + c.
+
+    Statistics promote to >= f32 (and STAY f64 under enable_x64, matching
+    TorchBatchNorm's compute dtype for the f64 parity harness)."""
+    cdt = jnp.promote_types(var.dtype, jnp.float32)
+    a = scale.astype(cdt) * jax.lax.rsqrt(var.astype(cdt) + eps)
+    return a, bias.astype(cdt) - mean.astype(cdt) * a
+
+
+def _heaviside(x):
+    return (x >= 0.0).astype(x.dtype)
+
+
+def _psn2(x0, x1, w, b):
+    """2-step PSN over an explicit pair: returns (spike_0, spike_1)."""
+    h0 = w[0, 0] * x0 + w[0, 1] * x1 + b[0]
+    h1 = w[1, 0] * x0 + w[1, 1] * x1 + b[1]
+    return _heaviside(h0), _heaviside(h1)
+
+
+def qk_attention_pairlocal(x_windows, p: QKAttnParams, num_heads: int):
+    """Pure-jnp mirror of the fused dataflow (the kernel's oracle).
+
+    ``x_windows``: [2, M, wh, ww, C] from window_partition_v2_tm. Returns
+    the attention output in the same layout (pre window_reverse), i.e. what
+    the XLA module returns as its first output. M must be even.
+    """
+    wd, M, wh, ww, C = x_windows.shape
+    assert wd == 2 and M % 2 == 0
+    ns = wh * ww
+    nh = num_heads
+    hd = C // nh
+    x = x_windows.reshape(2, M, ns, C)
+    f32 = jnp.promote_types(x.dtype, jnp.float32)  # stays f64 under x64
+    xf = x.astype(f32)
+
+    xs0, xs1 = _psn2(xf[0], xf[1], p.w_in.astype(f32), p.b_in.astype(f32))
+
+    def branch(w, a, c, pe=None):
+        y0 = xs0 @ w.astype(f32)
+        y1 = xs1 @ w.astype(f32)
+        y0 = a * y0 + c
+        y1 = a * y1 + c
+        if pe is not None:
+            y0 = y0 + pe[0]
+            y1 = y1 + pe[1]
+        return y0, y1
+
+    q0p, q1p = branch(p.wq, p.aq.astype(f32), p.cq.astype(f32))
+    q0, q1 = _psn2(q0p, q1p, p.w_q.astype(f32), p.b_q.astype(f32))
+    k0p, k1p = branch(p.wk, p.ak.astype(f32), p.ck.astype(f32),
+                      p.pe.astype(f32))
+    k0, k1 = _psn2(k0p, k1p, p.w_k.astype(f32), p.b_k.astype(f32))
+
+    # att_token: per (position, head-group) sum of hd consecutive channels
+    def tok(q):
+        return q.reshape(M, ns, nh, hd).sum(axis=-1)
+
+    t0, t1 = _psn2(tok(q0), tok(q1), p.w_t.astype(f32), p.b_t.astype(f32))
+
+    # slab-local masked product (the head scramble cancels — module header)
+    def amul(k, t):
+        return (k.reshape(M, ns, nh, hd)
+                * t[..., None]).reshape(M, ns, C)
+
+    a0 = amul(k0, t0)
+    a1 = amul(k1, t1)
+
+    # pair regroup: per raster half hsel, per pair (2j2', 2j2'+1):
+    # ravel (2, N_s, C) -> (nh, 2, N_s, hd); deinterleave (head, time).
+    def regroup(a):  # [M, ns, C] -> [2(t4), M//2, ns, C]
+        v = a.reshape(M // 2, nh, 2, ns, hd)   # pure reshape of the ravel
+        v = v.transpose(2, 0, 3, 1, 4)          # t4, j2', p4, n4, hd
+        return v.reshape(2, M // 2, ns, C)
+
+    o0 = regroup(a0)   # outputs (t4, j2) for j2 in [0, M/2)
+    o1 = regroup(a1)   # outputs (t4, j2) for j2 in [M/2, M)
+    out = jnp.concatenate([o0, o1], axis=1)     # [2, M, ns, C]
+
+    out = out @ p.wp.astype(f32) + p.bp.astype(f32)
+    out = p.ap.astype(f32) * out + p.cp.astype(f32)
+    return out.reshape(2, M, wh, ww, C).astype(x_windows.dtype)
+
+
+def _pick_block(M: int, ns: int = 81, C: int = 96,
+                budget_bytes: int = 2 << 20) -> int:
+    """Largest even divisor of M whose per-array VMEM footprint
+    (2 * cols * ns * C f32) stays under ``budget_bytes`` (the kernel keeps
+    ~6 such intermediates live; 2 MB/array ~ 12 MB peak, inside the 16 MB
+    VMEM with the in/out pipeline buffers accounted by Mosaic)."""
+    target = max(2, min(64, budget_bytes // max(2 * ns * C * 4, 1)))
+    best = 2
+    for d in range(2, min(M, target) + 1, 2):
+        if M % d == 0:
+            best = d
+    return best
+
+
+def _kernel(x_ref, pe_ref, win_ref, bin_ref, wq_ref, aq_ref, cq_ref,
+            wq2_ref, bq2_ref, wk_ref, ak_ref, ck_ref, wk2_ref, bk2_ref,
+            wt_ref, bt_ref, wp_ref, bp_ref, ap_ref, cp_ref, out_ref,
+            *, num_heads: int, ns: int):
+    f32 = jnp.float32
+    jb = x_ref.shape[1]
+    C = x_ref.shape[-1]
+    nh = num_heads
+    hd = C // nh
+
+    x0 = x_ref[0].reshape(jb * ns, C)
+    x1 = x_ref[1].reshape(jb * ns, C)
+    cdt = x0.dtype
+
+    win = win_ref[:].astype(f32)
+    bin_ = bin_ref[:].astype(f32)
+    h0 = win[0, 0] * x0.astype(f32) + win[0, 1] * x1.astype(f32) + bin_[0]
+    h1 = win[1, 0] * x0.astype(f32) + win[1, 1] * x1.astype(f32) + bin_[1]
+    xs0 = _heaviside(h0).astype(cdt)
+    xs1 = _heaviside(h1).astype(cdt)
+
+    def dense(z, w_ref):
+        return jnp.dot(z, w_ref[:], preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def branch(w_ref, a_ref, c_ref, w2_ref, b2_ref, pe=None):
+        y0 = dense(xs0, w_ref)
+        y1 = dense(xs1, w_ref)
+        a = a_ref[:].astype(f32)
+        c = c_ref[:].astype(f32)
+        y0 = a * y0 + c
+        y1 = a * y1 + c
+        if pe is not None:
+            y0 = y0 + pe[0]
+            y1 = y1 + pe[1]
+        w2 = w2_ref[:].astype(f32)
+        b2 = b2_ref[:].astype(f32)
+        g0 = w2[0, 0] * y0 + w2[0, 1] * y1 + b2[0]
+        g1 = w2[1, 0] * y0 + w2[1, 1] * y1 + b2[1]
+        return _heaviside(g0), _heaviside(g1)
+
+    q0, q1 = branch(wq_ref, aq_ref, cq_ref, wq2_ref, bq2_ref)
+    # pe tiled over the jb columns of the block: [2, ns, C] -> rows repeat
+    pe = pe_ref[:].astype(f32)
+    pe_rows = (jnp.tile(pe[0], (jb, 1)), jnp.tile(pe[1], (jb, 1)))
+    k0, k1 = branch(wk_ref, ak_ref, ck_ref, wk2_ref, bk2_ref, pe=pe_rows)
+
+    def tok(q):
+        return q.reshape(jb * ns, nh, hd).sum(axis=-1)
+
+    wt = wt_ref[:].astype(f32)
+    bt = bt_ref[:].astype(f32)
+    s0 = tok(q0)
+    s1 = tok(q1)
+    t0 = _heaviside(wt[0, 0] * s0 + wt[0, 1] * s1 + bt[0])
+    t1 = _heaviside(wt[1, 0] * s0 + wt[1, 1] * s1 + bt[1])
+
+    def amul(k, t):
+        return (k.reshape(jb * ns, nh, hd) * t[..., None]).reshape(
+            jb * ns, C)
+
+    a0 = amul(k0, t0)
+    a1 = amul(k1, t1)
+
+    # pair regroup per raster half (module header, step 2): reshape the
+    # pair ravel and deinterleave (head, time); all VMEM-local.
+    def regroup(a):  # [jb*ns, C] -> [2, (jb//2)*ns, C]
+        v = a.reshape(jb // 2, nh, 2, ns, hd)
+        v = v.transpose(2, 0, 3, 1, 4)
+        return v.reshape(2, (jb // 2) * ns, C)
+
+    o0 = regroup(a0)
+    o1 = regroup(a1)
+
+    wp = wp_ref[:]
+    bp = bp_ref[:].astype(f32)
+    ap = ap_ref[:].astype(f32)
+    cp = cp_ref[:].astype(f32)
+    for t4 in range(2):
+        for hsel, o in ((0, o0), (1, o1)):
+            y = jnp.dot(o[t4].astype(cdt), wp, preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST) + bp
+            y = ap * y + cp
+            out_ref[t4, hsel] = y.reshape(jb // 2, ns, C).astype(
+                out_ref.dtype)
+
+
+def fused_qk_attention(x_windows, p: QKAttnParams, num_heads: int,
+                       *, block_cols: int | None = None,
+                       interpret: bool | None = None):
+    """Pallas-fused Spiking_QK_WindowAttention3D forward (eval mode).
+
+    ``x_windows``: [2, M, wh, ww, C] (window_partition_v2_tm output, wd==2,
+    M even). Returns [2, M, wh, ww, C] — bit-compatible with the flax
+    module's first output (tests/test_pallas_attn.py: f64 oracle +
+    on-device A/B).
+    """
+    wd, M, wh, ww, C = x_windows.shape
+    if wd != 2 or M % 2:
+        raise ValueError(f"fused path needs wd==2 and even M, got {wd},{M}")
+    if interpret is None:
+        # no Mosaic on CPU hosts/tests: run interpreted there
+        interpret = jax.default_backend() in ("cpu",)
+    ns = wh * ww
+    jb = block_cols or _pick_block(M, ns, C)
+    assert M % jb == 0 and jb % 2 == 0, (M, jb)
+    x = x_windows.reshape(2, M, ns, C)
+    pe = p.pe.reshape(2, ns, C)
+
+    def vec(b):  # [T, 1]-shaped PSN biases -> [T]
+        return b.reshape(-1)
+
+    kern = functools.partial(_kernel, num_heads=num_heads, ns=ns)
+    grid = (M // jb,)
+
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((2, jb, ns, C), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        full(pe.shape),
+        full(p.w_in.shape), full((2,)),
+        full(p.wq.shape), full((C,)), full((C,)),
+        full(p.w_q.shape), full((2,)),
+        full(p.wk.shape), full((C,)), full((C,)),
+        full(p.w_k.shape), full((2,)),
+        full(p.w_t.shape), full((2,)),
+        full(p.wp.shape), full((C,)), full((C,)), full((C,)),
+    ]
+    out_spec = pl.BlockSpec((2, 2, jb // 2, ns, C),
+                            lambda i: (0, 0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out5 = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((2, 2, M // 2, ns, C),
+                                       x_windows.dtype),
+        interpret=interpret,
+    )(x, pe, p.w_in, vec(p.b_in), p.wq, p.aq, p.cq, p.w_q, vec(p.b_q),
+      p.wk, p.ak, p.ck, p.w_k, vec(p.b_k), p.w_t, vec(p.b_t),
+      p.wp, p.bp, p.ap, p.cp)
+    # out5 axes: (t4, raster half, j2', ns, C) -> windows (t4, j2) with
+    # j2 = half * M/2 + j2'
+    out = out5.reshape(2, M, ns, C)
+    return out.reshape(2, M, wh, ww, C)

@@ -5,6 +5,29 @@ reference only has DataParallel). The ``model`` axis adds composable tensor
 parallelism: large kernels are sharded over their output-channel axis and
 XLA GSPMD propagates activation shardings / inserts the collectives. With
 ``n_model == 1`` everything degenerates to pure DP.
+
+TP is deliberately SCOPED AWAY from the window-attention interior: the
+spiking attention folds batch/space/time through raw reshape chains
+(ops/windows.py window_partition_v2_tm — reference-parity quirks), and GSPMD
+cannot push a channel-sharded layout through them without "Involuntary full
+rematerialization" (replicate + re-partition at every block — observed in
+MULTICHIP_r04.json). So:
+
+- parameters under an ``attn`` module scope stay replicated
+  (:func:`infer_param_shardings`), and
+- the attention segment's input activation is pinned to batch-only sharding
+  (:func:`constrain_data_parallel`, called at the attention entry in
+  models/spiking_swin.py), so the collective boundary sits at the
+  conv/MLP matmuls — where a resharding is a matmul-fused all-gather — and
+  the compiled program is clean (asserted by ``__graft_entry__.
+  dryrun_multichip``).
+
+Activation constraints use the bare-``PartitionSpec`` form of
+``jax.lax.with_sharding_constraint``, which resolves against the mesh
+installed by ``jax.set_mesh`` — callers running tensor-parallel must trace
+the step under ``with jax.set_mesh(mesh):`` (see dryrun_multichip). Without
+an installed mesh (pure DP, single device, tests) the constraint helper is
+an exact no-op.
 """
 
 from __future__ import annotations
@@ -12,21 +35,56 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# Module scopes whose parameters must stay replicated under TP because the
+# activations they touch flow through sharding-hostile reshape chains.
+_REPLICATED_SCOPES = ("attn",)
+
+
+def _path_is_replicated(path) -> bool:
+    keys = {str(getattr(k, "key", k)) for k in path}
+    return any(scope in keys for scope in _REPLICATED_SCOPES)
+
 
 def infer_param_shardings(params, mesh: Mesh, min_size: int = 1 << 14):
     """Shard every leaf whose trailing (output-channel) axis divides the
     model-axis size and whose total size exceeds ``min_size``; replicate the
-    rest. Returns a pytree of NamedSharding."""
+    rest. Parameters inside an ``attn`` scope are always replicated (see
+    module docstring). Returns a pytree of NamedSharding."""
     n_model = mesh.shape.get("model", 1)
 
-    def rule(leaf):
+    def rule(path, leaf):
         if (n_model > 1 and leaf.ndim >= 2 and leaf.size >= min_size
-                and leaf.shape[-1] % n_model == 0):
+                and leaf.shape[-1] % n_model == 0
+                and not _path_is_replicated(path)):
             spec = [None] * (leaf.ndim - 1) + ["model"]
             return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map(rule, params)
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def constrain_data_parallel(x, batch_axis: int = 1):
+    """Pin ``x`` to batch-only sharding (``batch_axis`` -> mesh axis
+    ``data``) when tracing under a ``jax.set_mesh`` mesh that has a
+    nontrivial ``model`` axis; identity otherwise.
+
+    Placed at the entry of sharding-hostile segments (the spiking window
+    attention) so GSPMD gathers channel-sharded activations ONCE at a
+    matmul boundary instead of involuntarily rematerializing inside the
+    reshape chain.
+    """
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        axis_names = tuple(mesh.axis_names)
+    except Exception:
+        return x
+    if "data" not in axis_names or "model" not in axis_names:
+        return x
+    if mesh.shape.get("model", 1) <= 1:
+        return x
+    spec = [None] * x.ndim
+    spec[batch_axis] = "data"
+    return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
 def shard_params(params, mesh: Mesh, min_size: int = 1 << 14):

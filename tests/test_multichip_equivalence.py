@@ -114,7 +114,11 @@ def test_dp_tp_equals_single_device(single_device_step):
     state = shard_state(state, mesh, min_size=1 << 8)
     batch = shard_batch(_batch(8), mesh)
     train_step = make_train_step(donate=False)
-    new_state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+    # jax.set_mesh activates the model's activation sharding constraints
+    # (attention pinned batch-only — parallel/sharding_rules docstring);
+    # the dp x tp step must still be numerically identical to single-device.
+    with jax.set_mesh(mesh):
+        new_state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
     assert abs(float(metrics["loss"]) - ref_loss) < 1e-5 * (1 + abs(ref_loss))
     _assert_trees_close(ref_state.params, new_state.params,
                         rtol=1e-4, atol=1e-6,
