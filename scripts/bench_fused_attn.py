@@ -14,8 +14,12 @@ Stage shapes (en4 @ 288x384, patch (1,1,2,2), window (2,9,9), T=10):
 """
 
 import argparse
+import os
 import statistics
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -103,16 +107,84 @@ def _time_chain(step, x, iters, repeats):
     return statistics.median(rates)
 
 
+def full_model(args):
+    """bench.py protocol (288x384 en4, bf16, s2d embed) with and without
+    cfg.fused_qk_attn."""
+    from sdformerflow_tpu.models.common import SwinConfig
+    from sdformerflow_tpu.models.snn_flownet import SpikingformerFlowNet
+    from sdformerflow_tpu.ops.normalization import encode_input
+    from sdformerflow_tpu.training.s2d_embed import s2d_model_and_variables
+
+    h, w = 288, 384
+    swin = SwinConfig(
+        arc_type="swinv1",
+        patch_embed_type="MS_PED_Spiking_PatchEmbed_Conv_sfn",
+        input_size=(h, w), patch_size=(1, 1, 2, 2), depths=(2, 2, 6, 2),
+        num_heads=(3, 6, 12, 24), out_indices=(0, 1, 2, 3),
+        window_size=(2, 9, 9), qk_scale=0.125)
+    cfg = SpikingConfig(num_steps=10, v_th=0.1, v_reset=None,
+                        neuron_type="psn", spike_norm="BN")
+    model = SpikingformerFlowNet(swin=swin, cfg=cfg, num_bins=10,
+                                 base_num_channels=96, num_encoders=4,
+                                 use_upsample_conv=False, ms=True)
+    rng = jax.random.PRNGKey(0)
+    chunk = jax.random.normal(rng, (1, 10, h, w), jnp.float32)
+    variables = jax.jit(lambda r, z: model.init({"params": r}, z, False))(
+        rng, encode_input(chunk))
+    model, variables = s2d_model_and_variables(model, variables)
+    bench_vars = {
+        "params": jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), variables["params"]),
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+
+    variants = {"both": (False, True), "base": (False,),
+                "fused": (True,)}[args.variant]
+    for fused in variants:
+        m = model.clone(cfg=model.cfg.replace(fused_qk_attn=fused))
+
+        @jax.jit
+        def step(v, c, m=m):
+            out = m.apply(v, encode_input(c).astype(jnp.bfloat16),
+                          False)["flow"][-1]
+            return c + 0.0 * out.sum().astype(jnp.float32)
+
+        o = step(bench_vars, chunk)
+        float(o.sum())
+        rates = []
+        for _ in range(args.repeats):
+            o = chunk
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                o = step(bench_vars, o)
+            float(o.sum())
+            dt = time.perf_counter() - t0
+            rates.append(args.iters / dt)
+        med = statistics.median(rates)
+        print(f"full en4 fused_qk_attn={fused}: {med:.2f} windows/s "
+              f"(spread {min(rates):.2f}-{max(rates):.2f})", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--check", action="store_true",
-                    help="also assert fused == xla on-chip (f32)")
+                    help="also assert fused == xla on-chip (routing guard)")
+    ap.add_argument("--full", action="store_true",
+                    help="full-flagship A/B instead of per-stage")
+    ap.add_argument("--variant", default="both",
+                    choices=["both", "base", "fused"],
+                    help="--full: which variant to run (cold remote "
+                         "compiles exceed a single run's budget; run "
+                         "variants separately, the cache persists)")
     args = ap.parse_args()
     enable_compilation_cache()
     dtype = jnp.dtype(args.dtype)
+    if args.full:
+        full_model(args)
+        return
 
     print(f"backend={jax.default_backend()} dtype={dtype}")
     print(f"{'stage':8s} {'M':>5s} {'C':>4s} {'xla ms':>8s} {'fused ms':>9s}"
@@ -132,15 +204,23 @@ def main():
             return fused_qk_attention(z, kp, nh).astype(z.dtype)
 
         if args.check:
+            # spiking nets are bitwise-chaotic across numeric paths (the
+            # kernel keeps f32 interiors where the bf16 module path rounds,
+            # so isolated near-threshold spikes flip); the routing guard is
+            # the FRACTION of elements that moved materially, not max|d|
+            # (exact-parity evidence is the f64 suite, tests/test_pallas_attn)
             import numpy as np
             a = np.asarray(xla_step(x), jnp.float32)
             b = np.asarray(fused_step(x), jnp.float32)
-            err = np.max(np.abs(a - b))
-            print(f"  {name} on-chip max|xla-fused| = {err:.3e}")
+            frac = float(np.mean(np.abs(a - b) > 1e-2))
+            print(f"  {name} on-chip max|xla-fused| = "
+                  f"{np.max(np.abs(a - b)):.3e}, frac>1e-2 = {frac:.2e}",
+                  flush=True)
+            assert frac < 5e-3, f"{name}: routing-level divergence {frac}"
         ms_x = _time_chain(xla_step, x, args.iters, args.repeats)
         ms_f = _time_chain(fused_step, x, args.iters, args.repeats)
         print(f"{name:8s} {M:5d} {C:4d} {ms_x:8.3f} {ms_f:9.3f}"
-              f" {ms_x / ms_f:8.2f}x")
+              f" {ms_x / ms_f:8.2f}x", flush=True)
 
 
 if __name__ == "__main__":

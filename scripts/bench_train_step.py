@@ -25,7 +25,8 @@ swin = SwinConfig(arc_type="swinv1",
     window_size=(2, 9, 9), qk_scale=0.125, drop_path_rate=0.2)
 cfg = SpikingConfig(num_steps=10, v_th=0.1, v_reset=None,
                     neuron_type="psn", spike_norm="BN",
-                    s2d_train="--s2d" in sys.argv)
+                    s2d_train="--s2d" in sys.argv,
+                    pairlocal_attn="--pairlocal" in sys.argv)
 model = SpikingformerFlowNet(swin=swin, cfg=cfg, num_bins=10,
                              base_num_channels=96, num_encoders=4,
                              use_upsample_conv=False, ms=True)

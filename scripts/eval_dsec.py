@@ -68,6 +68,11 @@ def main():
                     help="exact space-to-depth embed re-expression (+13%% "
                          "TPU forward, training/s2d_embed.py); exact for "
                          "the eval protocol's running-stats BN")
+    ap.add_argument("--fused_attn", action="store_true",
+                    help="fused Pallas spiking-QK window attention "
+                         "(ops/pallas_attn.py; inference-only, PSN+BN, "
+                         "identical variable tree — composes with "
+                         "--s2d_embed; incompatible with --log_attn)")
     ap.add_argument("--log_attn", action="store_true",
                     help="store per-stage attention maps of the first batch")
     ap.add_argument("--max_batches", type=int, default=None,
@@ -158,8 +163,15 @@ def main():
 
     if args.s2d_embed:
         from sdformerflow_tpu.training.s2d_embed import s2d_state
-        _, state = s2d_state(model, state)
+        model, state = s2d_state(model, state)
         print("s2d embed re-expression on")
+    if args.fused_attn:
+        import dataclasses as _dc
+        assert not args.log_attn, (
+            "--fused_attn does not materialize attention maps")
+        model = model.clone(cfg=model.cfg.replace(fused_qk_attn=True))
+        state = _dc.replace(state, apply_fn=model.apply)
+        print("fused Pallas QK attention on")
     if args.energy_report:
         args.store_spike_rates = True
     collect_sites = args.store_spike_rates or args.store_membrane

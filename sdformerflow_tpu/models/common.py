@@ -68,6 +68,15 @@ class SpikingConfig:
     # flips on a cloned model with the same variables. Eval-mode only;
     # train / non-PSN / odd window-batch calls fall back to the XLA path.
     fused_qk_attn: bool = False
+    # Pair-local XLA re-expression of the same attention (TRAIN-capable,
+    # any neuron/norm): the q/k/att_token head-scrambled fold relayouts are
+    # eliminated (only the output pair-regroup remains), computing the
+    # exact same function with the exact same variable tree — spikes fire
+    # on relabeled-but-identical multisets, BN populations are unchanged,
+    # so forward, gradients, BN running stats and telemetry all match the
+    # raw-refold path (f64-tested). Gated to wd == 2 / even window count;
+    # other geometries silently use the reference-shaped folds.
+    pairlocal_attn: bool = False
 
     def replace(self, **kw) -> "SpikingConfig":
         return dataclasses.replace(self, **kw)

@@ -327,21 +327,47 @@ class SpikingQKWindowAttention3D(nn.Module):
                 and T == 2 and acfg.num_steps == 2 and B_ % 2 == 0):
             return self._fused(x, acfg, nh, N_all)
 
+        pairlocal = (self.cfg.pairlocal_attn and T == 2
+                     and acfg.num_steps == 2 and B_ % 2 == 0)
+
         x = SpikingNeuron(acfg, name="proj_sn")(x)
         q = _QKVBranch(self.dim, acfg, self.norm, name="q")(x, train)
         k = _QKVBranch(self.dim, acfg, self.norm, add_pe=True,
                        pe_shape=(1, nh, N_all, hd), name="k")(x, train)
 
-        # q keeps its time axis; k folds time into tokens (raw reshape parity)
-        q = q.reshape(T, B_, nh, -1, hd)
-        k = k.reshape(B_, nh, -1, hd)
+        if pairlocal:
+            # PAIR-LOCAL re-expression of the fold algebra below — the
+            # exact same function (f64-tested, tests/test_pallas_attn.py /
+            # test_fused_attn_model.py) with the three head-scrambled
+            # q/k/att_token fold relayouts eliminated; only the output
+            # pair-regroup remains. Works in TRAIN too: the branch modules
+            # above are untouched (identical BN statistics populations),
+            # the spikes fire on relabeled-but-identical multisets, and the
+            # produced tensor is elementwise identical, so gradients,
+            # BN stats and telemetry all match the raw-refold path.
+            att = q.reshape(T, B_, Hw, Ww_, nh, hd).sum(-1)
+            att = SpikingNeuron(acfg, name="sn2_q")(att)  # (T,B_,h,w,nh)
+            a = (k.reshape(T, B_, Hw, Ww_, nh, hd)
+                 * att[..., None]).reshape(T, B_, Hw, Ww_, C)
 
-        att_token = q.sum(axis=-1, keepdims=True)       # (T, B_, nh, HW, 1)
-        att_token = SpikingNeuron(acfg, name="sn2_q")(att_token)
-        attn = k * att_token.reshape(B_, nh, -1, 1)      # (B_, nh, N, hd)
+            def regroup(ah):  # [B_, h, w, C] -> [2(t4), B_/2, h, w, C]
+                v = ah.reshape(B_ // 2, nh, 2, Hw, Ww_, hd)
+                v = v.transpose(2, 0, 3, 4, 1, 5)
+                return v.reshape(2, B_ // 2, Hw, Ww_, C)
 
-        out = attn.reshape(B_, nh, T, Hw, Ww_, hd)
-        out = out.transpose(2, 0, 3, 4, 1, 5).reshape(T, B_, Hw, Ww_, C)
+            out = jnp.concatenate([regroup(a[0]), regroup(a[1])], axis=1)
+        else:
+            # raw reshape folding (reference parity): q keeps its time
+            # axis; k folds time into tokens
+            q = q.reshape(T, B_, nh, -1, hd)
+            k = k.reshape(B_, nh, -1, hd)
+
+            att_token = q.sum(axis=-1, keepdims=True)   # (T, B_, nh, HW, 1)
+            att_token = SpikingNeuron(acfg, name="sn2_q")(att_token)
+            attn = k * att_token.reshape(B_, nh, -1, 1)  # (B_, nh, N, hd)
+
+            out = attn.reshape(B_, nh, T, Hw, Ww_, hd)
+            out = out.transpose(2, 0, 3, 4, 1, 5).reshape(T, B_, Hw, Ww_, C)
         attn_scores = SpikingNeuron(acfg, name="attn_sn")(out)
         out = _dense(self.dim, use_bias=True, name="proj")(out)
         if self.norm in _BN_FAMILY and not norm_is_folded(self.norm, acfg):

@@ -30,18 +30,25 @@ tests/test_pallas_attn.py against the reference-parity flax module):
    neuron's temporal pair inside one kernel instance.
 
 Consequently one Pallas instance over an even block of columns computes the
-ENTIRE attention — spikes, dots, positional encoding, fold product, refold,
-projection — with zero HBM round-trips between the stages, replacing the
-XLA fold/refold relayout chain.
+column-local interior — spikes, q/k dots, positional encoding, att_token
+(as a 0/1 pooling-matrix dot; Mosaic rejects lane-splitting shape casts),
+and the fold product — with zero HBM round-trips between those stages. The
+remaining pair-regroup (one relayout) + proj matmul + BN affine run as the
+XLA tail, which XLA fuses with the downstream window_reverse.
+
+Measured on one v5e chip (scripts/bench_fused_attn.py, bf16, chained
+medians): 1.23x / 1.21x / 1.08x over the XLA module at en4 stages 0-2;
+stage3 (M=30, no Mosaic-legal block) uses the pair-local XLA form at 1.25x.
 
 Scope (falls back to the XLA module outside it): eval mode (BN as running-
 stat affine), PSN neurons, ``wd == 2``, M even, norm == "BN". The time-mix
-weights enter as explicit [2, 2] matrices.
+weights enter as explicit [2, 2] matrices in SMEM. The TRAIN-capable
+sibling is ``cfg.pairlocal_attn`` (models/spiking_swin.py): the same
+algebra expressed in XLA with the real BN/neuron modules.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -167,104 +174,83 @@ def qk_attention_pairlocal(x_windows, p: QKAttnParams, num_heads: int):
 
 
 def _pick_block(M: int, ns: int = 81, C: int = 96,
-                budget_bytes: int = 2 << 20) -> int:
+                budget_bytes: int = 2 << 20):
     """Largest even divisor of M whose per-array VMEM footprint
     (2 * cols * ns * C f32) stays under ``budget_bytes`` (the kernel keeps
     ~6 such intermediates live; 2 MB/array ~ 12 MB peak, inside the 16 MB
-    VMEM with the in/out pipeline buffers accounted by Mosaic)."""
+    VMEM with the in/out pipeline buffers accounted by Mosaic) AND whose
+    row count ``cols * ns`` is sublane-divisible (Mosaic requires block
+    second-minor % 8 == 0 unless it spans the array). Returns None when no
+    such divisor exists (e.g. en4 stage3's M=30 with odd ns=81) — callers
+    fall back to the pair-local XLA form."""
     target = max(2, min(64, budget_bytes // max(2 * ns * C * 4, 1)))
-    best = 2
+    best = None
     for d in range(2, min(M, target) + 1, 2):
-        if M % d == 0:
+        if M % d == 0 and (d * ns) % 8 == 0:
             best = d
     return best
 
 
-def _kernel(x_ref, pe_ref, win_ref, bin_ref, wq_ref, aq_ref, cq_ref,
-            wq2_ref, bq2_ref, wk_ref, ak_ref, ck_ref, wk2_ref, bk2_ref,
-            wt_ref, bt_ref, wp_ref, bp_ref, ap_ref, cp_ref, out_ref,
-            *, num_heads: int, ns: int):
+def _kernel(x_ref, pe_ref, pool_ref, bcast_ref, win_ref, bin_ref,
+            wq_ref, aq_ref, cq_ref, wq2_ref, bq2_ref,
+            wk_ref, ak_ref, ck_ref, wk2_ref, bk2_ref,
+            wt_ref, bt_ref, out_ref):
+    """Column-local half of the fused attention, Mosaic-friendly ops only:
+    every array is 2D (rows = block columns x window tokens, lanes = C),
+    every contraction a 2D MXU dot, PSN time-mixes are SMEM-scalar FMAs.
+    The head-group sum (att_token) and its hd-wide broadcast are expressed
+    as dots with 0/1 pooling matrices instead of lane reshapes (Mosaic
+    rejects shape casts that split the lane dim). The pair-regroup + proj
+    tail runs in XLA (fused_qk_attention) — it is one relayout + one
+    matmul, which XLA fuses with the downstream window_reverse."""
     f32 = jnp.float32
-    jb = x_ref.shape[1]
-    C = x_ref.shape[-1]
-    nh = num_heads
-    hd = C // nh
-
-    x0 = x_ref[0].reshape(jb * ns, C)
-    x1 = x_ref[1].reshape(jb * ns, C)
+    x0 = x_ref[0]            # (jb*ns, C)
+    x1 = x_ref[1]
     cdt = x0.dtype
 
-    win = win_ref[:].astype(f32)
-    bin_ = bin_ref[:].astype(f32)
-    h0 = win[0, 0] * x0.astype(f32) + win[0, 1] * x1.astype(f32) + bin_[0]
-    h1 = win[1, 0] * x0.astype(f32) + win[1, 1] * x1.astype(f32) + bin_[1]
+    h0 = (win_ref[0, 0] * x0.astype(f32) + win_ref[0, 1] * x1.astype(f32)
+          + bin_ref[0, 0])
+    h1 = (win_ref[1, 0] * x0.astype(f32) + win_ref[1, 1] * x1.astype(f32)
+          + bin_ref[1, 0])
     xs0 = _heaviside(h0).astype(cdt)
     xs1 = _heaviside(h1).astype(cdt)
 
+    prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
     def dense(z, w_ref):
         return jnp.dot(z, w_ref[:], preferred_element_type=f32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=prec)
 
-    def branch(w_ref, a_ref, c_ref, w2_ref, b2_ref, pe=None):
+    def branch(w_ref, a_ref, c_ref, w2_ref, b2_ref, use_pe):
         y0 = dense(xs0, w_ref)
         y1 = dense(xs1, w_ref)
-        a = a_ref[:].astype(f32)
+        a = a_ref[:].astype(f32)   # (1, C) broadcasts over rows
         c = c_ref[:].astype(f32)
         y0 = a * y0 + c
         y1 = a * y1 + c
-        if pe is not None:
-            y0 = y0 + pe[0]
-            y1 = y1 + pe[1]
-        w2 = w2_ref[:].astype(f32)
-        b2 = b2_ref[:].astype(f32)
-        g0 = w2[0, 0] * y0 + w2[0, 1] * y1 + b2[0]
-        g1 = w2[1, 0] * y0 + w2[1, 1] * y1 + b2[1]
+        if use_pe:
+            y0 = y0 + pe_ref[0].astype(f32)
+            y1 = y1 + pe_ref[1].astype(f32)
+        g0 = w2_ref[0, 0] * y0 + w2_ref[0, 1] * y1 + b2_ref[0, 0]
+        g1 = w2_ref[1, 0] * y0 + w2_ref[1, 1] * y1 + b2_ref[1, 0]
         return _heaviside(g0), _heaviside(g1)
 
-    q0, q1 = branch(wq_ref, aq_ref, cq_ref, wq2_ref, bq2_ref)
-    # pe tiled over the jb columns of the block: [2, ns, C] -> rows repeat
-    pe = pe_ref[:].astype(f32)
-    pe_rows = (jnp.tile(pe[0], (jb, 1)), jnp.tile(pe[1], (jb, 1)))
-    k0, k1 = branch(wk_ref, ak_ref, ck_ref, wk2_ref, bk2_ref, pe=pe_rows)
+    q0, q1 = branch(wq_ref, aq_ref, cq_ref, wq2_ref, bq2_ref, False)
+    k0, k1 = branch(wk_ref, ak_ref, ck_ref, wk2_ref, bk2_ref, True)
 
-    def tok(q):
-        return q.reshape(jb * ns, nh, hd).sum(axis=-1)
+    # att_token: per-(row, head-group) sum of hd consecutive lanes == a dot
+    # with the (C, nh) 0/1 pooling matrix; broadcast back via its (nh, C)
+    # transpose. q/att spikes are exact 0/1 so cdt dots are exact.
+    s0 = dense(q0.astype(cdt), pool_ref)   # (jb*ns, nh)
+    s1 = dense(q1.astype(cdt), pool_ref)
+    t0 = _heaviside(wt_ref[0, 0] * s0 + wt_ref[0, 1] * s1 + bt_ref[0, 0])
+    t1 = _heaviside(wt_ref[1, 0] * s0 + wt_ref[1, 1] * s1 + bt_ref[1, 0])
+    b0 = dense(t0.astype(cdt), bcast_ref)  # (jb*ns, C) 0/1
+    b1 = dense(t1.astype(cdt), bcast_ref)
 
-    wt = wt_ref[:].astype(f32)
-    bt = bt_ref[:].astype(f32)
-    s0 = tok(q0)
-    s1 = tok(q1)
-    t0 = _heaviside(wt[0, 0] * s0 + wt[0, 1] * s1 + bt[0])
-    t1 = _heaviside(wt[1, 0] * s0 + wt[1, 1] * s1 + bt[1])
-
-    def amul(k, t):
-        return (k.reshape(jb * ns, nh, hd) * t[..., None]).reshape(
-            jb * ns, C)
-
-    a0 = amul(k0, t0)
-    a1 = amul(k1, t1)
-
-    # pair regroup per raster half (module header, step 2): reshape the
-    # pair ravel and deinterleave (head, time); all VMEM-local.
-    def regroup(a):  # [jb*ns, C] -> [2, (jb//2)*ns, C]
-        v = a.reshape(jb // 2, nh, 2, ns, hd)
-        v = v.transpose(2, 0, 3, 1, 4)
-        return v.reshape(2, (jb // 2) * ns, C)
-
-    o0 = regroup(a0)
-    o1 = regroup(a1)
-
-    wp = wp_ref[:]
-    bp = bp_ref[:].astype(f32)
-    ap = ap_ref[:].astype(f32)
-    cp = cp_ref[:].astype(f32)
-    for t4 in range(2):
-        for hsel, o in ((0, o0), (1, o1)):
-            y = jnp.dot(o[t4].astype(cdt), wp, preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST) + bp
-            y = ap * y + cp
-            out_ref[t4, hsel] = y.reshape(jb // 2, ns, C).astype(
-                out_ref.dtype)
+    out_ref[0] = (k0 * b0).astype(out_ref.dtype)
+    out_ref[1] = (k1 * b1).astype(out_ref.dtype)
 
 
 def fused_qk_attention(x_windows, p: QKAttnParams, num_heads: int,
@@ -284,47 +270,80 @@ def fused_qk_attention(x_windows, p: QKAttnParams, num_heads: int,
         # no Mosaic on CPU hosts/tests: run interpreted there
         interpret = jax.default_backend() in ("cpu",)
     ns = wh * ww
+    nh = num_heads
+    hd = C // nh
     jb = block_cols or _pick_block(M, ns, C)
+    if jb is None:
+        # no Mosaic-legal block partition (tiny M with odd ns): use the
+        # pair-local XLA re-expression — same math, f64-tested, and already
+        # free of the module path's q/k/att fold relayouts
+        return qk_attention_pairlocal(x_windows, p, num_heads)
     assert M % jb == 0 and jb % 2 == 0, (M, jb)
-    x = x_windows.reshape(2, M, ns, C)
-    pe = p.pe.reshape(2, ns, C)
+    x = x_windows.reshape(2, M * ns, C)
+    # pe pre-tiled to one block's rows (tiny; shared by every instance)
+    pe = jnp.tile(p.pe.reshape(2, ns, C), (1, jb, 1)).reshape(
+        2, jb * ns, C).astype(x.dtype)
+    # 0/1 head-pooling matrices (att_token sum + hd-wide broadcast as dots)
+    eye = jnp.eye(nh, dtype=x.dtype)
+    pool = jnp.repeat(eye, hd, axis=0)         # (C, nh)
+    bcast = jnp.repeat(eye, hd, axis=1)        # (nh, C)
 
-    def vec(b):  # [T, 1]-shaped PSN biases -> [T]
-        return b.reshape(-1)
+    def mat2(a):  # 2x2 PSN weight -> SMEM
+        return jnp.asarray(a, jnp.float32).reshape(2, 2)
 
-    kern = functools.partial(_kernel, num_heads=num_heads, ns=ns)
+    def col2(b):  # PSN bias [2]/[2,1] -> (2, 1) SMEM
+        return jnp.asarray(b, jnp.float32).reshape(2, 1)
+
+    def row(a):   # per-channel affine -> (1, C) VMEM
+        return jnp.asarray(a, jnp.float32).reshape(1, C)
+
     grid = (M // jb,)
-
-    full = lambda shape: pl.BlockSpec(  # noqa: E731
+    vmem = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
 
     in_specs = [
-        pl.BlockSpec((2, jb, ns, C), lambda i: (0, i, 0, 0),
+        pl.BlockSpec((2, jb * ns, C), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
-        full(pe.shape),
-        full(p.w_in.shape), full((2,)),
-        full(p.wq.shape), full((C,)), full((C,)),
-        full(p.w_q.shape), full((2,)),
-        full(p.wk.shape), full((C,)), full((C,)),
-        full(p.w_k.shape), full((2,)),
-        full(p.w_t.shape), full((2,)),
-        full(p.wp.shape), full((C,)), full((C,)), full((C,)),
+        vmem((2, jb * ns, C)),                     # pe
+        vmem((C, nh)), vmem((nh, C)),              # pool / bcast
+        smem((2, 2)), smem((2, 1)),                # proj_sn psn
+        vmem((C, C)), vmem((1, C)), vmem((1, C)),  # q dense + affine
+        smem((2, 2)), smem((2, 1)),                # q psn
+        vmem((C, C)), vmem((1, C)), vmem((1, C)),  # k dense + affine
+        smem((2, 2)), smem((2, 1)),                # k psn
+        smem((2, 2)), smem((2, 1)),                # att_token psn
     ]
-    out_spec = pl.BlockSpec((2, 2, jb // 2, ns, C),
-                            lambda i: (0, 0, i, 0, 0),
+    out_spec = pl.BlockSpec((2, jb * ns, C), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
-    out5 = pl.pallas_call(
-        kern,
+    a_pairs = pl.pallas_call(
+        _kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((2, 2, M // 2, ns, C),
-                                       x_windows.dtype),
+        out_shape=jax.ShapeDtypeStruct((2, M * ns, C), x_windows.dtype),
         interpret=interpret,
-    )(x, pe, p.w_in, vec(p.b_in), p.wq, p.aq, p.cq, p.w_q, vec(p.b_q),
-      p.wk, p.ak, p.ck, p.w_k, vec(p.b_k), p.w_t, vec(p.b_t),
-      p.wp, p.bp, p.ap, p.cp)
-    # out5 axes: (t4, raster half, j2', ns, C) -> windows (t4, j2) with
-    # j2 = half * M/2 + j2'
-    out = out5.reshape(2, M, ns, C)
-    return out.reshape(2, M, wh, ww, C)
+    )(x, pe, pool, bcast,
+      mat2(p.w_in), col2(p.b_in),
+      p.wq.astype(x.dtype), row(p.aq), row(p.cq),
+      mat2(p.w_q), col2(p.b_q),
+      p.wk.astype(x.dtype), row(p.ak), row(p.ck),
+      mat2(p.w_k), col2(p.b_k),
+      mat2(p.w_t), col2(p.b_t))
+
+    # XLA tail: the pair-regroup (ops/pallas_attn.py header, step 2 — one
+    # relayout) + proj matmul + BN affine; XLA fuses these with the
+    # surrounding window_reverse.
+    f32 = jnp.promote_types(x_windows.dtype, jnp.float32)
+    a = a_pairs.reshape(2, M, ns, C)
+
+    def regroup(ah):  # [M, ns, C] -> [2, M//2, ns, C]
+        v = ah.reshape(M // 2, nh, 2, ns, hd)
+        v = v.transpose(2, 0, 3, 1, 4)
+        return v.reshape(2, M // 2, ns, C)
+
+    out = jnp.concatenate([regroup(a[0]), regroup(a[1])], axis=1)
+    out = out.astype(f32) @ p.wp.astype(f32) + p.bp.astype(f32)
+    out = p.ap.astype(f32) * out + p.cp.astype(f32)
+    return out.reshape(2, M, wh, ww, C).astype(x_windows.dtype)

@@ -110,6 +110,12 @@ def build_configs(config: dict):
         # eval; see SpikingConfig.s2d_train). Read only by the MSPED
         # conv-sfn embed; other embeds ignore it.
         s2d_train=bool(model.get("s2d_train", False)),
+        # model.pairlocal_attn: train-capable pair-local re-expression of
+        # the spiking QK attention — exact same function/variables, the
+        # head-scrambled fold relayouts removed (SpikingConfig docstring).
+        pairlocal_attn=bool(model.get("pairlocal_attn", False)),
+        # model.fused_qk_attn: fused Pallas eval attention (inference-only)
+        fused_qk_attn=bool(model.get("fused_qk_attn", False)),
     )
 
     st = config.get("swin_transformer", {}) or {}
