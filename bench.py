@@ -10,11 +10,20 @@ runs are noisy; the reported number is the median of R repeated timed runs.
 
 Numeric policy matches ``make_eval_step`` (training/train_step.py): params
 and activations cast to bf16, BatchNorm ``batch_stats`` kept in f32 — the
-same HLO the eval driver executes — plus the EXACT space-to-depth embed
-re-expression (training/s2d_embed.py, f64-parity-tested in
-tests/test_s2d_embed.py): the full-resolution embed segment runs in 2x2
-block space, avoiding the C=48 lane-padding tax (1.13x end-to-end,
-PERF_NOTES.md).
+same HLO the eval driver executes — plus the two exact inference
+re-expressions the eval driver exposes (``eval_dsec.py --s2d_embed
+--fused_attn``):
+
+- space-to-depth embed (training/s2d_embed.py, f64-parity-tested in
+  tests/test_s2d_embed.py): the full-resolution embed segment runs in 2x2
+  block space, avoiding the C=48 lane-padding tax (1.13x end-to-end);
+- fused Pallas spiking-QK window attention (ops/pallas_attn.py,
+  f64-bit-parity-tested in tests/test_pallas_attn.py /
+  test_fused_attn_model.py, metric-identical on chip on the trained tiny
+  task): one kernel per even block of window columns computes spikes, q/k
+  linears+affines, positional encoding, att_token and the fold product in
+  VMEM, eliminating the module path's window fold/refold relayout chain
+  (+13% end-to-end, PERF_NOTES.md round 5).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no numeric throughput baseline (BASELINE.md);
@@ -60,6 +69,8 @@ def main():
         rng, encode_input(chunk))
     # exact s2d re-expression of the embed head (inference-only)
     model, variables = s2d_model_and_variables(model, variables)
+    # fused Pallas QK attention (inference-only; identical variable tree)
+    model = model.clone(cfg=model.cfg.replace(fused_qk_attn=True))
     # eval-step numeric policy: bf16 params, f32 batch_stats
     bench_vars = {
         "params": jax.tree_util.tree_map(
