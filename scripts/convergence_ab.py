@@ -108,6 +108,12 @@ def main():
         "MS_SpikingformerFlowNet_en4", "psn", (1, 1, 1, 1), (2, 2, 4, 4),
         "MS_PED_Spiking_PatchEmbed_Conv_sfn", (h, w))
     s_cfg["drop_path_rate"] = 0.0
+    # window (2,2,2): the conv-sfn embed downsamples 4x before stage 0, so
+    # 48x64 input reaches stage 3 at 2x2 — the reference clamps the window
+    # to the feature size but not its positional-encoding buffer
+    # (Spiking_swin_transformer3D.py:678), so every stage must satisfy
+    # H,W >= window. 2 does; the default 3 does not.
+    s_cfg["window_size"] = [2, 2, 2]
 
     import importlib
     sys.path.insert(0, "/root/reference")
