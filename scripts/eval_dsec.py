@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--run_dir", default="runs/eval_dsec")
     ap.add_argument("--path", default=None, help="override data.path")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--structured", action="store_true",
+                    help="with --synthetic: the learnable moving-bar task "
+                         "(matches train_dsec.py --structured), so AEE "
+                         "reflects actual flow prediction")
     ap.add_argument("--store_submission", action="store_true",
                     help="write DSEC test-server 16-bit PNGs")
     ap.add_argument("--store_vis", action="store_true")
@@ -110,7 +114,8 @@ def main():
     if args.synthetic:
         res = config["loader"]["resolution"]
         kw = dict(num_samples=16, num_bins=config["model"]["num_bins"],
-                  height=res[0], width=res[1], seed=7)
+                  height=res[0], width=res[1], seed=7,
+                  structured=args.structured)
         if events_mode:
             from sdformerflow_tpu.data.dsec import SyntheticEventListDataset
             dataset = SyntheticEventListDataset(**kw)
