@@ -56,6 +56,14 @@ def main():
     ap.add_argument("--store_submission", action="store_true",
                     help="write DSEC test-server 16-bit PNGs")
     ap.add_argument("--store_vis", action="store_true")
+    ap.add_argument("--show", action="store_true",
+                    help="live per-batch cv2 windows (input events / "
+                         "estimated flow / GT flow), the reference's "
+                         "Visualization_DSEC.update surface "
+                         "(utils/visualization.py:32-121); no-op with a "
+                         "warning on headless hosts")
+    ap.add_argument("--show_px", type=int, default=400,
+                    help="live window size (reference vis.px)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 inference path")
     ap.add_argument("--store_spike_rates", action="store_true",
@@ -200,6 +208,13 @@ def main():
         # does not serialize the eval dispatch loop
         vis = AsyncVisWriter(FlowVisualizer(f"{args.run_dir}/vis",
                                             store=True))
+    live = None
+    if args.show:
+        from sdformerflow_tpu.utils.visualization import LiveViewer
+        live = LiveViewer(px=args.show_px)
+        if not live.enabled:
+            print("[eval] --show: no GUI backend on this host; live "
+                  "windows disabled (use --store_vis for PNG artifacts)")
 
     metric_names = config["metrics"].get("name", ["AEE"])
     mask_events = config["metrics"].get("mask_events", False)
@@ -263,6 +278,17 @@ def main():
             vis.update(flow=pred[0], gt_flow=label[0],
                        submission_flow=(pred[0] if args.store_submission
                                         else None))
+        if live is not None and live.enabled:
+            # reference shows per-polarity input events alongside the flows
+            # (Visualization_DSEC.update:45-49); the signed voxel chunk
+            # splits into ON/OFF footprints by sign
+            cnt = None
+            if not isinstance(chunk, dict):
+                c = np.asarray(chunk[0], np.float32)
+                cnt = np.stack([np.maximum(c, 0).sum(0),
+                                np.maximum(-c, 0).sum(0)])
+            live.update(event_cnt=cnt, flow=np.asarray(pred[0]),
+                        gt_flow=np.asarray(label[0]))
         if args.log_attn and i == 0:
             x = encode_input(chunk, encoding=encoding, polarity=polarity,
                              norm_input=norm_input, spike_th=spike_th)
@@ -277,6 +303,8 @@ def main():
 
     if vis is not None:
         vis.close()  # drain the writer queue; re-raises writer errors
+    if live is not None:
+        live.close()
     results = acc.results()
     if spike_rates is not None:
         results["mean_firing_rate"] = float(np.mean(list(spike_rates.values())))

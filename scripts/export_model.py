@@ -39,6 +39,11 @@ def main():
                     help="bake the exact space-to-depth embed re-expression "
                          "into the artifact (+13%% TPU forward; Spikingformer"
                          " MSPED models with running-stats BN only)")
+    ap.add_argument("--fused_attn", action="store_true",
+                    help="bake the fused Pallas spiking-QK attention kernel "
+                         "into the artifact (+13%% TPU forward; MS family; "
+                         "TPU-platform exports only — the artifact carries "
+                         "a Mosaic tpu_custom_call)")
     ap.add_argument("--verify", action="store_true",
                     help="reload each artifact and check it against the "
                          "live step on random input")
@@ -56,7 +61,8 @@ def main():
     if args.eval_config:
         config = merge_eval_config(config, load_config(args.eval_config))
 
-    state = build_inference_state(config, args.ckpt, s2d=args.s2d)
+    state = build_inference_state(config, args.ckpt, s2d=args.s2d,
+                              fused_attn=args.fused_attn)
     buckets = [int(b) for b in args.event_buckets.split(",") if b]
     platforms = args.platforms.split(",") if args.platforms else None
     meta = export_flow_model(config, state, args.out,

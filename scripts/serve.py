@@ -96,6 +96,10 @@ def main():
                     help="exact space-to-depth embed re-expression (+13%% "
                          "TPU forward; Spikingformer MSPED models with "
                          "running-stats BN only)")
+    ap.add_argument("--fused_attn", action="store_true",
+                    help="fused Pallas spiking-QK window-attention kernel "
+                         "(+13%% TPU forward; MS family; exact for the "
+                         "eval protocol)")
     args = ap.parse_args()
 
     from sdformerflow_tpu.serving import FlowServer
@@ -113,7 +117,8 @@ def main():
         from sdformerflow_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(n_data=args.dp)
     server = FlowServer(config, ckpt=args.ckpt, bf16=not args.no_bf16,
-                        mesh=mesh, s2d=args.s2d)
+                        mesh=mesh, s2d=args.s2d,
+                        fused_attn=args.fused_attn)
     print("warming up (compiling serving step)...", flush=True)
     server.warmup(args.warmup_events,
                   all_buckets=args.warmup_all_buckets)

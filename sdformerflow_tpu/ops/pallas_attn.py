@@ -37,11 +37,23 @@ remaining pair-regroup (one relayout) + proj matmul + BN affine run as the
 XLA tail, which XLA fuses with the downstream window_reverse.
 
 Measured on one v5e chip (scripts/bench_fused_attn.py, bf16, chained
-medians): 1.23x / 1.21x / 1.08x over the XLA module at en4 stages 0-2;
-stage3 (M=30, no Mosaic-legal block) uses the pair-local XLA form at 1.25x.
+medians): 1.23x / 1.21x / 1.08x over the XLA module at en4 stages 0-2.
+Stage3 (M=30, ns=81 odd — no sublane-divisible block at the native token
+count) runs the kernel with TOKEN PADDING (ns 81->84,
+:func:`_pick_block_padded`); at that scale all variants sit at the ~1.5 ms
+dispatch floor (bf16 3-way: module 1.83 / pair-local 1.59 / padded kernel
+1.63 ms) so the kernel is neutral-vs-pair-local and uniform across stages.
+On-chip routing guard: fused == pair-local to THE BIT (max|d| = 0) at
+every stage incl. the padded codegen, with matmuls forced HIGHEST on both
+sides (``bench_fused_attn --check``; comparing against the flax module
+instead measures precision composition — its dots run at TPU default
+precision and its BN is unfolded — not routing).
 
 Scope (falls back to the XLA module outside it): eval mode (BN as running-
-stat affine), PSN neurons, ``wd == 2``, M even, norm == "BN". The time-mix
+stat affine), PSN neurons, ``wd == 2``, M even, norm == "BN". f32 at
+C >= ~512 falls back to the pair-local form (the two CxC f32 weight
+buffers crowd scoped VMEM: measured 17.0 MB > 16 MB at stage3's minimal
+block; production inference is bf16, where everything fits). The time-mix
 weights enter as explicit [2, 2] matrices in SMEM. The TRAIN-capable
 sibling is ``cfg.pairlocal_attn`` (models/spiking_swin.py): the same
 algebra expressed in XLA with the real BN/neuron modules.
@@ -182,13 +194,35 @@ def _pick_block(M: int, ns: int = 81, C: int = 96,
     row count ``cols * ns`` is sublane-divisible (Mosaic requires block
     second-minor % 8 == 0 unless it spans the array). Returns None when no
     such divisor exists (e.g. en4 stage3's M=30 with odd ns=81) — callers
-    fall back to the pair-local XLA form."""
+    then try :func:`_pick_block_padded`."""
     target = max(2, min(64, budget_bytes // max(2 * ns * C * 4, 1)))
     best = None
     for d in range(2, min(M, target) + 1, 2):
         if M % d == 0 and (d * ns) % 8 == 0:
             best = d
     return best
+
+
+def _pick_block_padded(M: int, ns: int, C: int,
+                       budget_bytes: int = 2 << 20):
+    """Fallback block search with TOKEN PADDING: pad each window's token
+    rows ``ns -> ns_p`` (zeros) until some even divisor of M gives a
+    sublane-divisible block row count. Every kernel stage is row-local
+    (2D dots / per-row lane ops / slab-aligned PSN FMAs — see ``_kernel``),
+    so padded rows never mix with real rows and are sliced away after the
+    call; the only cost is ``ns_p/ns`` extra FLOPs/bytes. Minimal padding
+    wins first, then the largest in-budget divisor (same budget rule as
+    :func:`_pick_block`). Returns ``(jb, ns_p)`` or None. Unlocks en4
+    stage3 (M=30, ns=81 -> ns_p=84, jb=2)."""
+    for ns_p in range(ns + 1, ns + 8):
+        target = max(2, min(64, budget_bytes // max(2 * ns_p * C * 4, 1)))
+        best = None
+        for d in range(2, min(M, target) + 1, 2):
+            if M % d == 0 and (d * ns_p) % 8 == 0:
+                best = d
+        if best is not None:
+            return best, ns_p
+    return None
 
 
 def _kernel(x_ref, pe_ref, pool_ref, bcast_ref, win_ref, bin_ref,
@@ -272,17 +306,45 @@ def fused_qk_attention(x_windows, p: QKAttnParams, num_heads: int,
     ns = wh * ww
     nh = num_heads
     hd = C // nh
-    jb = block_cols or _pick_block(M, ns, C)
-    if jb is None:
-        # no Mosaic-legal block partition (tiny M with odd ns): use the
-        # pair-local XLA re-expression — same math, f64-tested, and already
-        # free of the module path's q/k/att fold relayouts
+    # VMEM block budget: calibrated at 2 MB/array for bf16 I/O (measured
+    # ~12.6 MB scoped footprint at en4 stage0, inside the 16 MB limit);
+    # f32 I/O doubles the in/out pipeline buffers, so halve the budget
+    # (f32 stage0 at the bf16 block size OOMs scoped vmem by 9.2 MB).
+    itemsize = jnp.dtype(x_windows.dtype).itemsize
+    if itemsize > 2 and 2 * C * C * itemsize > (4 << 20):
+        # f32 + large C: the two CxC weight buffers alone crowd VMEM —
+        # measured at en4 stage3 (C=768, f32): 17.0 MB scoped stack at the
+        # MINIMAL block, over the 16 MB limit with no smaller block to
+        # retreat to. f32 is the debugging path (production inference is
+        # bf16, where the weights halve and the kernel fits); use the
+        # pair-local XLA form there. The padded-block Mosaic codegen stays
+        # on-chip-verified in f32 at smaller C (bench_fused_attn --check).
         return qk_attention_pairlocal(x_windows, p, num_heads)
+    budget = (2 << 20) if itemsize <= 2 else (1 << 20)
+    jb = block_cols or _pick_block(M, ns, C, budget)
+    ns_p = ns
+    if jb is None:
+        # no Mosaic-legal block at the native token count (tiny M with odd
+        # ns, e.g. en4 stage3): pad token rows per window until one exists
+        # (row-local kernel — padding is sliced away after the call)
+        picked = _pick_block_padded(M, ns, C, budget)
+        if picked is None:
+            # the pair-local XLA re-expression — same math, f64-tested, and
+            # already free of the module path's q/k/att fold relayouts
+            return qk_attention_pairlocal(x_windows, p, num_heads)
+        jb, ns_p = picked
     assert M % jb == 0 and jb % 2 == 0, (M, jb)
-    x = x_windows.reshape(2, M * ns, C)
+    pe_win = p.pe.reshape(2, ns, C)
+    if ns_p != ns:
+        x = jnp.pad(x_windows.reshape(2, M, ns, C),
+                    ((0, 0), (0, 0), (0, ns_p - ns), (0, 0))
+                    ).reshape(2, M * ns_p, C)
+        pe_win = jnp.pad(pe_win, ((0, 0), (0, ns_p - ns), (0, 0)))
+    else:
+        x = x_windows.reshape(2, M * ns, C)
     # pe pre-tiled to one block's rows (tiny; shared by every instance)
-    pe = jnp.tile(p.pe.reshape(2, ns, C), (1, jb, 1)).reshape(
-        2, jb * ns, C).astype(x.dtype)
+    pe = jnp.tile(pe_win, (1, jb, 1)).reshape(
+        2, jb * ns_p, C).astype(x.dtype)
     # 0/1 head-pooling matrices (att_token sum + hd-wide broadcast as dots)
     eye = jnp.eye(nh, dtype=x.dtype)
     pool = jnp.repeat(eye, hd, axis=0)         # (C, nh)
@@ -304,9 +366,9 @@ def fused_qk_attention(x_windows, p: QKAttnParams, num_heads: int,
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
 
     in_specs = [
-        pl.BlockSpec((2, jb * ns, C), lambda i: (0, i, 0),
+        pl.BlockSpec((2, jb * ns_p, C), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
-        vmem((2, jb * ns, C)),                     # pe
+        vmem((2, jb * ns_p, C)),                   # pe
         vmem((C, nh)), vmem((nh, C)),              # pool / bcast
         smem((2, 2)), smem((2, 1)),                # proj_sn psn
         vmem((C, C)), vmem((1, C)), vmem((1, C)),  # q dense + affine
@@ -315,14 +377,14 @@ def fused_qk_attention(x_windows, p: QKAttnParams, num_heads: int,
         smem((2, 2)), smem((2, 1)),                # k psn
         smem((2, 2)), smem((2, 1)),                # att_token psn
     ]
-    out_spec = pl.BlockSpec((2, jb * ns, C), lambda i: (0, i, 0),
+    out_spec = pl.BlockSpec((2, jb * ns_p, C), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     a_pairs = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((2, M * ns, C), x_windows.dtype),
+        out_shape=jax.ShapeDtypeStruct((2, M * ns_p, C), x_windows.dtype),
         interpret=interpret,
     )(x, pe, pool, bcast,
       mat2(p.w_in), col2(p.b_in),
@@ -336,7 +398,9 @@ def fused_qk_attention(x_windows, p: QKAttnParams, num_heads: int,
     # relayout) + proj matmul + BN affine; XLA fuses these with the
     # surrounding window_reverse.
     f32 = jnp.promote_types(x_windows.dtype, jnp.float32)
-    a = a_pairs.reshape(2, M, ns, C)
+    a = a_pairs.reshape(2, M, ns_p, C)
+    if ns_p != ns:
+        a = a[:, :, :ns, :]  # drop the Mosaic-legality token padding
 
     def regroup(ah):  # [M, ns, C] -> [2, M//2, ns, C]
         v = ah.reshape(M // 2, nh, 2, ns, hd)

@@ -63,11 +63,15 @@ class FlowServer:
     s2d: apply the exact space-to-depth embed re-expression
         (training/s2d_embed.py, +13% on the flagship forward on TPU).
         Only valid for the Spikingformer MSPED models with running-stats BN.
+    fused_attn: use the fused Pallas spiking-QK window-attention kernel
+        (ops/pallas_attn.py, +13% on the flagship forward on TPU; exact
+        for the eval protocol — f64-bit-parity-tested). MS family only.
     """
 
     def __init__(self, config: dict, state=None, *, ckpt: Optional[str] = None,
                  bf16: bool = True, max_pending: int = 8, mesh=None,
-                 batch_window_s: float = 0.002, s2d: bool = False):
+                 batch_window_s: float = 0.002, s2d: bool = False,
+                 fused_attn: bool = False):
         from .models import get_model
         from .ops.normalization import encode_input
         from .training.config import build_configs
@@ -104,7 +108,14 @@ class FlowServer:
                 state, _ = restore_checkpoint(ckpt, state)
         if s2d:
             from .training.s2d_embed import s2d_state
-            _, state = s2d_state(model, state)
+            model, state = s2d_state(model, state)
+        if fused_attn:
+            # fused Pallas spiking-QK window attention (ops/pallas_attn.py,
+            # +13% flagship forward on TPU; exact for the eval protocol) —
+            # composes with s2d, mirroring eval_dsec.py --fused_attn
+            import dataclasses
+            model = model.clone(cfg=model.cfg.replace(fused_qk_attn=True))
+            state = dataclasses.replace(state, apply_fn=model.apply)
         self._mesh = mesh
         self._batch = int(mesh.shape["data"]) if mesh is not None else 1
         self._batch_window = float(batch_window_s)

@@ -37,12 +37,15 @@ META_NAME = "export_meta.json"
 
 
 def build_inference_state(config: dict, ckpt: Optional[str] = None,
-                          s2d: bool = False):
+                          s2d: bool = False, fused_attn: bool = False):
     """Init a TrainState for inference from a merged config, optionally
     restoring ``ckpt`` (Orbax dir) — the same construction the serving
     engine and eval drivers use. ``s2d=True`` applies the exact
     space-to-depth embed re-expression (training/s2d_embed.py) after the
-    restore, so the exported/served program carries the +13% TPU forward."""
+    restore, so the exported/served program carries the +13% TPU forward.
+    ``fused_attn=True`` additionally swaps in the fused Pallas spiking-QK
+    window-attention kernel (ops/pallas_attn.py; the exported artifact then
+    carries a Mosaic ``tpu_custom_call`` — TPU-platform exports only)."""
     from ..models import get_model
     from ..ops.normalization import encode_input
     from .config import build_configs
@@ -70,7 +73,11 @@ def build_inference_state(config: dict, ckpt: Optional[str] = None,
         state, _ = restore_checkpoint(ckpt, state)
     if s2d:
         from .s2d_embed import s2d_state
-        _, state = s2d_state(model, state)
+        model, state = s2d_state(model, state)
+    if fused_attn:
+        import dataclasses
+        model = model.clone(cfg=model.cfg.replace(fused_qk_attn=True))
+        state = dataclasses.replace(state, apply_fn=model.apply)
     return state
 
 

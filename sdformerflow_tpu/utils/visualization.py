@@ -7,8 +7,10 @@ Parity targets: /root/reference/utils/visualization.py
   channel0 = flow_x * 128 + 2^15, channel1 = flow_y * 128 + 2^15, channel2=0.
 - events_to_image (:296-341): green(ON)/red(OFF) event rendering.
 
-Host-side numpy + PIL/imageio; no live cv2 windows (headless TPU hosts) —
-images are stored to disk instead.
+Host-side numpy + PIL/imageio. Live windows (the reference's
+``Visualization_DSEC.update`` per-batch cv2 windows, :32-121) are
+:class:`LiveViewer`; it degrades to a no-op on headless TPU hosts (no GUI
+backend / no display), where the store path is the intended surface.
 """
 
 from __future__ import annotations
@@ -101,6 +103,97 @@ class FlowVisualizer:
                                         f"{self.idx:06d}.png"),
                            np.asarray(submission_flow))
         self.idx += 1
+
+
+class LiveViewer:
+    """Per-batch live cv2 windows during evaluation.
+
+    Parity target: ``Visualization_DSEC.update``
+    (/root/reference/utils/visualization.py:32-121) — named, resizable
+    windows for the input events, the estimated flow, the ground-truth
+    flow, and (when provided) the eval-window variants, refreshed with
+    ``cv2.waitKey(1)`` per batch. Differences by design:
+
+    - Headless-safe: window creation is probed once; on hosts without a
+      GUI backend (typical TPU pods — cv2 raises or the window silently
+      cannot map) the viewer disables itself and every ``update`` is a
+      cheap no-op, so the same driver flag works on a workstation and in
+      CI. The reference crashes on headless hosts.
+    - Rendering reuses the store path's :func:`flow_to_image` /
+      :func:`events_to_image` (themselves parity-tested), so live and
+      stored artifacts are pixel-identical.
+    - Arrays arrive channels-first host numpy ([2, H, W] flow,
+      [2, H, W] per-polarity counts) exactly like :class:`FlowVisualizer`.
+    """
+
+    _WINDOWS = {
+        "event_cnt": "Input Events",
+        "flow": "Estimated Flow",
+        "gt_flow": "Ground-truth Flow",
+        "event_cnt_window": "Input Events - Eval window",
+        "flow_window": "Estimated Flow - Eval window",
+    }
+
+    def __init__(self, px: int = 400, enabled: bool | None = None):
+        self.px = int(px)
+        self._made: set = set()
+        if enabled is None:
+            enabled = self._probe()
+        self.enabled = bool(enabled)
+
+    @staticmethod
+    def _probe() -> bool:
+        """One-shot check that cv2 can actually create a window here."""
+        if not os.environ.get("DISPLAY") and os.name != "nt":
+            return False
+        try:
+            import cv2
+            cv2.namedWindow("__probe__", cv2.WINDOW_NORMAL)
+            cv2.destroyWindow("__probe__")
+            return True
+        except Exception:  # pragma: no cover - backend-dependent
+            return False
+
+    def _show(self, key: str, img, wide: bool = False):
+        import cv2
+        title = self._WINDOWS[key]
+        if key not in self._made:
+            cv2.namedWindow(title, cv2.WINDOW_NORMAL)
+            cv2.resizeWindow(title, self.px * (2 if wide else 1), self.px)
+            self._made.add(key)
+        cv2.imshow(title, img)
+
+    def render(self, event_cnt=None, flow=None, gt_flow=None,
+               event_cnt_window=None, flow_window=None) -> dict:
+        """Pure rendering half of ``update`` (testable headless): returns
+        {window_key: uint8 BGR image} for every array provided."""
+        out = {}
+        if event_cnt is not None:
+            out["event_cnt"] = events_to_image(np.asarray(event_cnt))[
+                ..., ::-1]
+        if event_cnt_window is not None:
+            out["event_cnt_window"] = events_to_image(
+                np.asarray(event_cnt_window))[..., ::-1]
+        for key, arr in (("flow", flow), ("gt_flow", gt_flow),
+                         ("flow_window", flow_window)):
+            if arr is not None:
+                a = np.asarray(arr)
+                # RGB -> BGR, matching the reference's cvtColor(RGB2BGR)
+                out[key] = flow_to_image(a[0], a[1])[..., ::-1]
+        return out
+
+    def update(self, **arrays):
+        if not self.enabled:
+            return
+        import cv2
+        for key, img in self.render(**arrays).items():
+            self._show(key, img)
+        cv2.waitKey(1)
+
+    def close(self):
+        if self.enabled:
+            import cv2
+            cv2.destroyAllWindows()
 
 
 class AsyncVisWriter:

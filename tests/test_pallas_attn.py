@@ -133,3 +133,39 @@ def test_kernel_rejects_odd_m_and_wd1():
         fused_qk_attention(x[:, :11], p, nh, interpret=True)
     with pytest.raises(ValueError):
         fused_qk_attention(x[:1], p, nh, interpret=True)
+
+
+def test_kernel_token_padding_matches_pairlocal():
+    """en4-stage3-shaped case (M=30, 9x9 windows -> odd ns=81): no
+    Mosaic-legal block exists at the native token count, so the kernel pads
+    token rows (ns 81 -> 84, jb=2; ops/pallas_attn._pick_block_padded) —
+    every kernel stage is row-local, so the padding must be exactly
+    invisible in the output."""
+    from sdformerflow_tpu.ops.pallas_attn import (_pick_block,
+                                                  _pick_block_padded)
+    assert _pick_block(30, 81, 768) is None
+    # at stage3's real C=768 the VMEM budget bounds the block to 2 columns
+    assert _pick_block_padded(30, 81, 768) == (2, 84)
+    # the tinier test case below still pads to 84 (block choice is free)
+    assert _pick_block(30, 81, 64) is None
+    assert _pick_block_padded(30, 81, 64)[1] == 84
+    mod, variables, x, nh = _make_case(jax.random.PRNGKey(11), M=30,
+                                       wh=9, ww=9, C=64, nh=4)
+    p = _to_kernel_params(variables, nh)
+    ref = qk_attention_pairlocal(x, p, nh)
+    got = fused_qk_attention(x, p, nh, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_kernel_token_padding_bitwise_invisible():
+    """Padding must not perturb real rows AT ALL: every kernel stage is
+    row-local, so the padded run must be BIT-identical to the same kernel
+    forced to run unpadded (interpret mode ignores the sublane-legality
+    rule that padding exists to satisfy on real Mosaic)."""
+    mod, variables, x, nh = _make_case(jax.random.PRNGKey(12), M=30,
+                                       wh=9, ww=9, C=64, nh=4)
+    p = _to_kernel_params(variables, nh)
+    padded = fused_qk_attention(x, p, nh, interpret=True)
+    unpadded = fused_qk_attention(x, p, nh, block_cols=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(padded), np.asarray(unpadded))

@@ -231,3 +231,15 @@ def test_s2d_server_smoke():
             size=(10, H, W)).astype(np.float32)).result(timeout=300)
         assert flow.shape == (2, H, W)
         assert np.isfinite(flow).all()
+
+
+def test_fused_attn_server_smoke():
+    """FlowServer(fused_attn=True): the serving state's apply_fn carries
+    cfg.fused_qk_attn (interpret-mode Pallas on CPU hosts) and requests
+    resolve to finite flows. Numeric parity of the kernel itself is locked
+    by tests/test_pallas_attn.py / tests/test_fused_attn_model.py."""
+    with FlowServer(_config(), bf16=False, fused_attn=True) as s:
+        flow = s.submit(np.random.default_rng(8).normal(
+            size=(10, H, W)).astype(np.float32)).result(timeout=300)
+        assert flow.shape == (2, H, W)
+        assert np.isfinite(flow).all()
