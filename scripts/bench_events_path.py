@@ -52,15 +52,16 @@ ev_sorted = {"x": jnp.asarray(_xs[None]), "y": jnp.asarray(_ys[None]),
              "valid": jnp.asarray(_valid[None])}
 
 
-def run(use_pallas, label, presorted=False):
+def run(use_pallas, label, presorted=False, st=None):
+    st = state if st is None else st
     events = ev_sorted if presorted else ev
     es = make_eval_step(voxelize=dict(**vox, use_pallas=use_pallas,
                                       presorted=presorted),
                         crop=(ch, cw), compute_dtype=jnp.bfloat16)
-    out = es(state, events)
+    out = es(st, events)
     assert np.isfinite(np.asarray(out[-1], np.float32)).all()
     def chained(e):
-        f = es(state, e)[-1]
+        f = es(st, e)[-1]
         return {**e, "t": e["t"] + 0.0 * f.sum().astype(jnp.float32)}
     cf = jax.jit(chained)
     o = cf(events); float(np.asarray(o["t"], np.float32).sum())
@@ -77,3 +78,14 @@ def run(use_pallas, label, presorted=False):
 run(True, "events eval step (pallas voxelizer)")
 run(True, "events eval step (pallas, host-presorted)", presorted=True)
 run(False, "events eval step (xla scatter)   ")
+
+# the PRODUCTION inference composition: host-presorted Pallas voxelize +
+# s2d embed re-expression + fused Pallas QK attention (both exact for the
+# eval protocol; same flags as eval_dsec.py --s2d_embed --fused_attn)
+import dataclasses
+from sdformerflow_tpu.training.s2d_embed import s2d_state
+model_p, state_p = s2d_state(model, state)
+model_p = model_p.clone(cfg=model_p.cfg.replace(fused_qk_attn=True))
+state_p = dataclasses.replace(state_p, apply_fn=model_p.apply)
+run(True, "events eval step (production: presorted+s2d+fused)",
+    presorted=True, st=state_p)
